@@ -1,0 +1,222 @@
+"""Fixed-capacity keyframe store and locality-based submap selection.
+
+Replaces the reference's unbounded ``keyframes_`` vector +
+``keyframe_normals_`` (odom.cc:480-516,1067-1154) and its submap machinery
+(``getSubmapKeyframes``/``pushSubmapIndices``/hulls, odom.cc:993-1315).
+
+The submap is the reference's locality-sparse "attention" over the keyframe
+history: union of
+
+  - top-knn keyframes nearest the current pose,
+  - top-kcv nearest among *convex-hull* keyframes,
+  - top-kcc nearest among *concave-hull* keyframes,
+
+where "top-k nearest" keeps every frame whose distance ties the k-th
+smallest (odom.cc:1180-1213).
+
+TPU-native deviations (documented, gated by tests):
+
+- The 3D qhull convex hull (odom.cc:993-1028) becomes a *directional
+  extremality* test: a keyframe is a hull vertex if it is the argmax of
+  some support direction; directions are taken towards every keyframe from
+  the centroid (O(K^2) dots, branch-free). Exact for vertices that are
+  extremal along their own centroid ray — in practice nearly all of a
+  trajectory hull.
+- The alpha-shape concave hull (odom.cc:1030-1065) becomes an XY
+  *angular-gap boundary* test: a keyframe is a boundary point if its
+  neighbors within radius 2*alpha leave a gap > 90 degrees around it (or
+  it has <2 neighbors). Both hull sets only seed the distance-top-k
+  selection, so small membership differences perturb the submap by at most
+  a few far keyframes.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from dynamic_direct_lidar_odometry_tpu.core.cloud import SENTINEL
+
+_INF = jnp.float32(3.0e12)
+
+
+class KeyframeStore(NamedTuple):
+    """Ring of up to K keyframes with their voxelized world-frame clouds
+    and GICP covariances (the reference's ``keyframes_`` +
+    ``keyframe_normals_``)."""
+
+    positions: jnp.ndarray  # (K, 3)
+    quats: jnp.ndarray  # (K, 4) [w,x,y,z]
+    points: jnp.ndarray  # (K, P, 3)
+    masks: jnp.ndarray  # (K, P) bool
+    covs: jnp.ndarray  # (K, P, 3, 3)
+    valid: jnp.ndarray  # (K,) bool
+    count: jnp.ndarray  # () int32
+
+    @property
+    def capacity(self) -> int:
+        return self.positions.shape[0]
+
+
+def empty_store(max_keyframes: int, max_points: int) -> KeyframeStore:
+    K, P = max_keyframes, max_points
+    return KeyframeStore(
+        positions=jnp.zeros((K, 3), jnp.float32),
+        quats=jnp.tile(jnp.array([1.0, 0, 0, 0], jnp.float32), (K, 1)),
+        points=jnp.full((K, P, 3), SENTINEL, jnp.float32),
+        masks=jnp.zeros((K, P), bool),
+        covs=jnp.tile(jnp.eye(3, dtype=jnp.float32), (K, P, 1, 1)),
+        valid=jnp.zeros((K,), bool),
+        count=jnp.int32(0),
+    )
+
+
+def add_keyframe(
+    store: KeyframeStore,
+    do_add: jnp.ndarray,
+    position: jnp.ndarray,
+    quat: jnp.ndarray,
+    points: jnp.ndarray,
+    mask: jnp.ndarray,
+    covs: jnp.ndarray,
+) -> KeyframeStore:
+    """Conditionally insert a keyframe at slot ``count`` (masked write).
+
+    At capacity, new keyframes overwrite the last slot (the reference
+    grows unboundedly; a production TPU deployment needs a bound — the
+    cap should simply be sized for the sweep).
+    """
+    i = jnp.minimum(store.count, store.capacity - 1)
+    sel = jnp.arange(store.capacity) == i
+    w = (sel & do_add)[:, None]
+    return KeyframeStore(
+        positions=jnp.where(w, position[None], store.positions),
+        quats=jnp.where(w, quat[None], store.quats),
+        points=jnp.where(w[:, :, None], points[None], store.points),
+        masks=jnp.where(w, mask[None], store.masks),
+        covs=jnp.where(w[:, :, None, None], covs[None], store.covs),
+        valid=store.valid | (sel & do_add),
+        count=store.count + do_add.astype(jnp.int32),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hull membership (approximations, see module docstring)
+# ---------------------------------------------------------------------------
+
+
+def convex_hull_mask(positions: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
+    """Approximate convex-hull vertex set via directional extremality.
+
+    Mirrors computeConvexHull (odom.cc:993-1028): with <4 valid keyframes
+    the hull set is empty (reference early-returns, leaving the previous —
+    initially empty — index list; here simply empty)."""
+    K = positions.shape[0]
+    n = jnp.sum(valid)
+    vf = valid[:, None].astype(positions.dtype)
+    centroid = jnp.sum(positions * vf, axis=0) / jnp.maximum(jnp.sum(vf), 1.0)
+    dirs = positions - centroid
+    norms = jnp.linalg.norm(dirs, axis=1, keepdims=True)
+    dirs = dirs / jnp.maximum(norms, 1e-9)
+    # support values: s[i, j] = <dir_i, p_j>, invalid j lose
+    s = dirs @ positions.T
+    s = jnp.where(valid[None, :], s, -_INF)
+    arg = jnp.argmax(s, axis=1)  # best point along each direction
+    is_vertex = jnp.zeros((K,), bool).at[arg].set(True, mode="drop")
+    is_vertex = is_vertex & valid & (jnp.arange(K) < K)  # keep shape
+    return jnp.where(n >= 4, is_vertex, jnp.zeros((K,), bool))
+
+
+def concave_hull_mask(
+    positions: jnp.ndarray, valid: jnp.ndarray, alpha: jnp.ndarray
+) -> jnp.ndarray:
+    """Approximate alpha-shape boundary via the XY angular-gap test.
+
+    Mirrors computeConcaveHull (odom.cc:1030-1065), alpha = adaptive
+    keyframe distance threshold (odom.cc:1177). Empty below 5 keyframes."""
+    K = positions.shape[0]
+    n = jnp.sum(valid)
+    d = positions[:, None, :2] - positions[None, :, :2]  # (K, K, 2) j -> i? no: i->j
+    dist = jnp.linalg.norm(d, axis=-1)
+    neigh = (
+        valid[None, :]
+        & valid[:, None]
+        & (dist < 2.0 * alpha)
+        & (dist > 1e-6)
+    )  # (K, K): j is a neighbor of i
+    ang = jnp.arctan2(-d[..., 1], -d[..., 0])  # direction i -> j
+    ang = jnp.where(neigh, ang, jnp.inf)
+    ang_sorted = jnp.sort(ang, axis=1)  # neighbors first, inf-padded
+    cnt = jnp.sum(neigh, axis=1)
+    # circular gaps between consecutive neighbor bearings
+    first = ang_sorted[:, 0]
+    nxt = jnp.concatenate([ang_sorted[:, 1:], jnp.full((K, 1), jnp.inf)], axis=1)
+    gaps = jnp.where(jnp.isfinite(nxt), nxt - ang_sorted, 0.0)
+    idxs = jnp.arange(ang_sorted.shape[1])
+    last_val = jnp.take_along_axis(
+        ang_sorted, jnp.maximum(cnt - 1, 0)[:, None], axis=1
+    )[:, 0]
+    wrap = 2.0 * jnp.pi - (last_val - first)
+    max_gap = jnp.maximum(jnp.max(gaps, axis=1), wrap)
+    boundary = (cnt < 2) | (max_gap > 0.5 * jnp.pi)
+    boundary = boundary & valid
+    return jnp.where(n >= 5, boundary, jnp.zeros((K,), bool))
+
+
+# ---------------------------------------------------------------------------
+# Submap selection
+# ---------------------------------------------------------------------------
+
+
+def _top_k_ties_mask(ds: jnp.ndarray, eligible: jnp.ndarray, k: int) -> jnp.ndarray:
+    """pushSubmapIndices semantics (odom.cc:1180-1213): mark every eligible
+    frame whose distance <= the k-th smallest eligible distance."""
+    d = jnp.where(eligible, ds, _INF)
+    kth = -jax.lax.top_k(-d, k)[0][k - 1]
+    return eligible & (d <= kth)
+
+
+@partial(jax.jit, static_argnames=("knn", "kcv", "kcc"))
+def select_submap(
+    store: KeyframeStore,
+    current_pos: jnp.ndarray,
+    alpha: jnp.ndarray,
+    knn: int,
+    kcv: int,
+    kcc: int,
+) -> jnp.ndarray:
+    """Union submap selection mask over keyframe slots (odom.cc:1215-1283)."""
+    ds = jnp.linalg.norm(store.positions - current_pos, axis=1)
+    sel = _top_k_ties_mask(ds, store.valid, knn)
+    cv = convex_hull_mask(store.positions, store.valid)
+    sel = sel | _top_k_ties_mask(ds, cv, kcv)
+    cc = concave_hull_mask(store.positions, store.valid, alpha)
+    sel = sel | _top_k_ties_mask(ds, cc, kcc)
+    return sel
+
+
+@partial(jax.jit, static_argnames=("max_slots",))
+def gather_submap(
+    store: KeyframeStore, sel: jnp.ndarray, max_slots: int
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Concatenate the selected keyframes' clouds+covs into the fixed
+    submap target buffer (odom.cc:1290-1314).
+
+    Selected keyframe slots are packed into ``max_slots`` gather indices
+    (selection can exceed max_slots only via distance ties; overflow drops
+    the farthest). Returns (points (S,3), mask (S,), covs (S,3,3)) with
+    S = max_slots * P.
+    """
+    K = store.capacity
+    # order selected slots first (stable by slot index)
+    order = jnp.argsort(jnp.where(sel, 0, 1), stable=True)[:max_slots]
+    picked = sel[order]  # (max_slots,) validity of each gathered slot
+    pts = store.points[order]  # (S_kf, P, 3)
+    msk = store.masks[order] & picked[:, None]
+    cvs = store.covs[order]
+    S = max_slots * store.points.shape[1]
+    pts = jnp.where(msk[..., None], pts, SENTINEL)
+    return pts.reshape(S, 3), msk.reshape(S), cvs.reshape(S, 3, 3)

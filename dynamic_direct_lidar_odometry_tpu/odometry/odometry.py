@@ -1,0 +1,312 @@
+"""The DLO odometry core: a pure state-transition per scan.
+
+Functional redesign of ``OdomNode::icpCB`` (odom.cc:614-729) and
+``scanMatching`` (odom.cc:745-851): preprocessing -> scan-to-scan GICP ->
+submap selection -> scan-to-submap GICP -> keyframe update, as one
+``jit``-compiled ``step(state, scan) -> (state', outputs)``.
+
+Mapping from the reference's mutable node state:
+
+  target_cloud_/gicp_s2s swap semantics (odom.cc:696,768) -> ``prev_*``
+      fields: the current scan + covariances become the next step's S2S
+      target, with zero copies (pure-functional swap).
+  covariance reuse s2s->s2m (odom.cc:765)                 -> the same
+      ``src_covs`` array is passed to both aligns.
+  keyframes_/keyframe_normals_                            -> KeyframeStore.
+  submap cache + hasChanged (odom.cc:1290-1314)           -> the submap
+      buffer is re-gathered each step; with no kd-tree there is no build
+      cost to amortize, a gather is cheaper than the branch.
+
+Dynamic-object removal (the "D" in DDLO) plugs in between scan matching
+and the keyframe update exactly as in the reference (odom.cc:687-693);
+see pipeline.py.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from dynamic_direct_lidar_odometry_tpu.config import DDLOConfig
+from dynamic_direct_lidar_odometry_tpu.core import se3
+from dynamic_direct_lidar_odometry_tpu.core.cloud import SENTINEL
+from dynamic_direct_lidar_odometry_tpu.odometry import keyframes as kf
+from dynamic_direct_lidar_odometry_tpu.odometry import preprocess as prep
+from dynamic_direct_lidar_odometry_tpu.ops import covariance, filters, gicp
+
+
+class OdomState(NamedTuple):
+    # Poses (world frame)
+    T: jnp.ndarray  # (4,4) current pose (T_, odom.h)
+    T_s2s: jnp.ndarray  # (4,4) S2S-propagated pose
+    T_s2s_prev: jnp.ndarray  # (4,4) base for next S2S propagation
+    pose: jnp.ndarray  # (3,)
+    rotq: jnp.ndarray  # (4,) [w,x,y,z]
+    # Previous scan (sensor frame) = next S2S target
+    prev_points: jnp.ndarray  # (N, 3)
+    prev_mask: jnp.ndarray  # (N,)
+    prev_covs: jnp.ndarray  # (N, 3, 3)
+    # Keyframe map
+    store: kf.KeyframeStore
+    # Metrics / adaptive params
+    spaciousness: jnp.ndarray  # () LPF'd median range
+    keyframe_thresh_dist: jnp.ndarray  # () adaptive threshD
+    # Bookkeeping
+    scan_count: jnp.ndarray  # () int32
+
+
+class OdomOutputs(NamedTuple):
+    pose: jnp.ndarray
+    rotq: jnp.ndarray
+    T: jnp.ndarray
+    T_s2s_rel: jnp.ndarray  # the local S2S increment (T_s2s_orig_)
+    # registration scan in world frame + per-point S2M NN residuals
+    reg_points_world: jnp.ndarray  # (N, 3)
+    reg_mask: jnp.ndarray  # (N,)
+    residuals: jnp.ndarray  # (N,)
+    new_keyframe: jnp.ndarray  # () bool
+    s2s_converged: jnp.ndarray
+    s2m_converged: jnp.ndarray
+    s2s_iterations: jnp.ndarray
+    s2m_iterations: jnp.ndarray
+    num_keyframes: jnp.ndarray
+    submap_size: jnp.ndarray
+
+
+def _settings(stage) -> gicp.GICPSettings:
+    return gicp.GICPSettings(
+        max_correspondence_distance=stage.max_correspondence_distance,
+        max_iterations=stage.max_iterations,
+        rotation_epsilon=stage.rotation_epsilon,
+        transformation_epsilon=stage.transformation_epsilon,
+        lm_max_iterations=stage.lm_max_iterations,
+        lm_init_lambda_factor=stage.lm_init_lambda_factor,
+    )
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def init_state(
+    cfg: DDLOConfig,
+    raw_points: jnp.ndarray,
+    raw_mask: jnp.ndarray,
+    T0: jnp.ndarray | None = None,
+) -> OdomState:
+    """Initialize from the first scan (initializeInputTarget, odom.cc:480-516):
+    the first scan becomes the S2S target and the first keyframe.
+
+    ``T0`` seeds the pose (identity, or a gravity-aligned rotation)."""
+    if T0 is None:
+        T0 = jnp.eye(4)
+    T0 = T0.astype(jnp.float32)
+
+    p = prep.preprocess(cfg, raw_points, raw_mask)
+    covs = covariance.plane_covariances(
+        p.points, p.mask, k=cfg.gicp.s2s.k_correspondences
+    )
+
+    # first keyframe: transformed by T0, voxelized at submap res
+    kf_pts_w = se3.transform_points(T0, p.points)
+    kf_pts_w = jnp.where(p.mask[:, None], kf_pts_w, SENTINEL)
+    if cfg.preprocessing.voxel_submap.use:
+        kf_pts, kf_mask = filters.voxel_downsample(
+            kf_pts_w, p.mask, cfg.preprocessing.voxel_submap.res,
+            cfg.capacity.max_keyframe_points,
+        )
+    else:
+        kf_pts, kf_mask = filters.compact(
+            kf_pts_w, p.mask, cfg.capacity.max_keyframe_points
+        )
+    kf_covs = covariance.plane_covariances(
+        kf_pts, kf_mask, k=cfg.gicp.s2s.k_correspondences
+    )
+
+    store = kf.empty_store(
+        cfg.capacity.max_keyframes, cfg.capacity.max_keyframe_points
+    )
+    store = kf.add_keyframe(
+        store,
+        jnp.bool_(True),
+        T0[:3, 3],
+        se3.matrix_to_quat(T0[:3, :3]),
+        kf_pts,
+        kf_mask,
+        kf_covs,
+    )
+
+    return OdomState(
+        T=T0,
+        T_s2s=T0,
+        T_s2s_prev=T0,
+        pose=T0[:3, 3],
+        rotq=se3.matrix_to_quat(T0[:3, :3]),
+        prev_points=p.points,
+        prev_mask=p.mask,
+        prev_covs=covs,
+        store=store,
+        spaciousness=p.spaciousness_median,
+        keyframe_thresh_dist=jnp.float32(cfg.keyframe.thresh_dist),
+        scan_count=jnp.int32(1),
+    )
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def step(
+    cfg: DDLOConfig,
+    state: OdomState,
+    raw_points: jnp.ndarray,
+    raw_mask: jnp.ndarray,
+) -> Tuple[OdomState, OdomOutputs]:
+    """One odometry step (plain DLO: dynamicDetection=false path of icpCB).
+
+    The DDLO pipeline (pipeline.py) re-uses all of this and inserts
+    segmentation between scan matching and the keyframe update.
+    """
+    # ---- preprocess + metrics (odom.cc:653-660) ----
+    p = prep.preprocess(cfg, raw_points, raw_mask)
+    spacious = 0.95 * state.spaciousness + 0.05 * p.spaciousness_median
+    kf_thresh_d = prep.adaptive_keyframe_thresh(spacious)
+
+    # ---- source covariances, shared by S2S and S2M (odom.cc:765) ----
+    src_covs = covariance.plane_covariances(
+        p.points, p.mask, k=cfg.gicp.s2s.k_correspondences
+    )
+
+    # ---- scan-to-scan (odom.cc:754-762) ----
+    s2s = gicp.align(
+        p.points,
+        p.mask,
+        src_covs,
+        state.prev_points,
+        state.prev_mask,
+        state.prev_covs,
+        jnp.eye(4),
+        _settings(cfg.gicp.s2s),
+    )
+    T_s2s = state.T_s2s_prev @ s2s.T  # propagateS2S (odom.cc:921-939)
+
+    # ---- submap selection + gather (odom.cc:775-784) ----
+    sel = kf.select_submap(
+        state.store,
+        T_s2s[:3, 3],
+        state.keyframe_thresh_dist,  # concave-hull alpha (odom.cc:1177)
+        cfg.submap.knn,
+        cfg.submap.kcv,
+        cfg.submap.kcc,
+    )
+    max_slots = cfg.submap.knn + cfg.submap.kcv + cfg.submap.kcc
+    sub_pts, sub_mask, sub_covs = kf.gather_submap(state.store, sel, max_slots)
+
+    # ---- scan-to-submap with S2S as guess (odom.cc:787-793) ----
+    s2m = gicp.align(
+        p.points,
+        p.mask,
+        src_covs,
+        sub_pts,
+        sub_mask,
+        sub_covs,
+        T_s2s,
+        _settings(cfg.gicp.s2m),
+    )
+    T_new = s2m.T
+    pose = T_new[:3, 3]
+    rotq = se3.matrix_to_quat(T_new[:3, :3])
+
+    reg_world = se3.transform_points(T_new, p.points)
+    reg_world = jnp.where(p.mask[:, None], reg_world, SENTINEL)
+
+    new_state = OdomState(
+        T=T_new,
+        T_s2s=T_s2s,
+        T_s2s_prev=T_new,  # odom.cc:845
+        pose=pose,
+        rotq=rotq,
+        prev_points=p.points,  # swap: current becomes next S2S target
+        prev_mask=p.mask,
+        prev_covs=src_covs,
+        store=state.store,
+        spaciousness=spacious,
+        keyframe_thresh_dist=kf_thresh_d,
+        scan_count=state.scan_count + 1,
+    )
+
+    outputs = OdomOutputs(
+        pose=pose,
+        rotq=rotq,
+        T=T_new,
+        T_s2s_rel=s2s.T,
+        reg_points_world=reg_world,
+        reg_mask=p.mask,
+        residuals=s2m.residuals,
+        new_keyframe=jnp.bool_(False),  # filled by update_keyframes
+        s2s_converged=s2s.converged,
+        s2m_converged=s2m.converged,
+        s2s_iterations=s2s.iterations,
+        s2m_iterations=s2m.iterations,
+        num_keyframes=state.store.count,
+        submap_size=jnp.sum(sub_mask.astype(jnp.int32)),
+    )
+    return new_state, outputs
+
+
+def keyframe_decision(
+    cfg: DDLOConfig, state: OdomState, pose: jnp.ndarray, rotq: jnp.ndarray
+) -> jnp.ndarray:
+    """updateKeyframes decision logic (odom.cc:1067-1127)."""
+    store = state.store
+    d = jnp.linalg.norm(store.positions - pose, axis=1)
+    d = jnp.where(store.valid, d, jnp.inf)
+    thresh = state.keyframe_thresh_dist
+    num_nearby = jnp.sum((d <= thresh * 1.5) & store.valid)
+    closest = jnp.argmin(d)
+    dd = d[closest]
+    closest_q = store.quats[closest]
+    dq = se3.quat_mul(rotq, se3.quat_conj(closest_q))
+    theta_deg = se3.quat_angle_deg(dq)
+
+    new_kf = (jnp.abs(dd) > thresh) | (jnp.abs(theta_deg) > cfg.keyframe.thresh_rot)
+    new_kf = jnp.where(jnp.abs(dd) <= thresh, False, new_kf)
+    new_kf = jnp.where(
+        (jnp.abs(dd) <= thresh)
+        & (jnp.abs(theta_deg) > cfg.keyframe.thresh_rot)
+        & (num_nearby <= 1),
+        True,
+        new_kf,
+    )
+    return new_kf
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def update_keyframes(
+    cfg: DDLOConfig,
+    state: OdomState,
+    world_points: jnp.ndarray,
+    world_mask: jnp.ndarray,
+) -> Tuple[OdomState, jnp.ndarray]:
+    """Conditionally add the current (world-frame, dynamic-free) scan as a
+    keyframe (odom.cc:1067-1154). Returns (state', added?)."""
+    new_kf = keyframe_decision(cfg, state, state.pose, state.rotq)
+
+    def add(store):
+        if cfg.preprocessing.voxel_submap.use:
+            pts, mask = filters.voxel_downsample(
+                world_points,
+                world_mask,
+                cfg.preprocessing.voxel_submap.res,
+                cfg.capacity.max_keyframe_points,
+            )
+        else:
+            pts, mask = filters.compact(
+                world_points, world_mask, cfg.capacity.max_keyframe_points
+            )
+        covs = covariance.plane_covariances(
+            pts, mask, k=cfg.gicp.s2s.k_correspondences
+        )
+        return kf.add_keyframe(
+            store, jnp.bool_(True), state.pose, state.rotq, pts, mask, covs
+        )
+
+    store = jax.lax.cond(new_kf, add, lambda s: s, state.store)
+    return state._replace(store=store), new_kf

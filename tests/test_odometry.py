@@ -1,0 +1,142 @@
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from dynamic_direct_lidar_odometry_tpu import config as cfg_lib
+from dynamic_direct_lidar_odometry_tpu.io import synthetic
+from dynamic_direct_lidar_odometry_tpu.odometry import keyframes as kf
+from dynamic_direct_lidar_odometry_tpu.odometry import odometry, preprocess
+
+
+def small_cfg(**cap_overrides):
+    cfg = cfg_lib.doals_config()
+    cap = dataclasses.replace(
+        cfg.capacity,
+        max_points=4096,
+        max_keyframe_points=4096,
+        max_keyframes=32,
+        max_submap_points=16384,
+        **cap_overrides,
+    )
+    det = dataclasses.replace(cfg.detection, rows=32, columns=512)
+    pre = dataclasses.replace(
+        cfg.preprocessing,
+        downsampling=dataclasses.replace(cfg.preprocessing.downsampling, col=2),
+        voxel_scan=dataclasses.replace(cfg.preprocessing.voxel_scan, res=0.4),
+        voxel_submap=dataclasses.replace(cfg.preprocessing.voxel_submap, res=0.5),
+    )
+    return dataclasses.replace(cfg, capacity=cap, detection=det, preprocessing=pre)
+
+
+def render_seq(cfg, n_frames, world=None):
+    world = world or synthetic.World.town(seed=0)
+    # ~0.6 m / ~5 deg per frame: a 10 Hz-class motion budget (the
+    # identity-guess S2S of the reference assumes the same envelope)
+    poses = synthetic.circular_trajectory(n_frames, radius=6.0, angle_span=0.5 * np.pi)
+    scans = [
+        synthetic.render_scan(
+            world, T, H=cfg.detection.rows, W=cfg.detection.columns, noise=0.005
+        )
+        for T in poses
+    ]
+    return world, poses, scans
+
+
+def test_preprocess_shapes_and_median():
+    cfg = small_cfg()
+    world, poses, scans = render_seq(cfg, 1)
+    pts, mask = scans[0]
+    p = preprocess.preprocess(cfg, jnp.asarray(np.nan_to_num(pts)), jnp.asarray(mask))
+    assert p.points.shape == (cfg.capacity.max_points, 3)
+    assert int(p.mask.sum()) > 500
+    assert 1.0 < float(p.spaciousness_median) < 60.0
+
+
+def test_odometry_tracks_trajectory():
+    """Plain-DLO slice: ATE on a synthetic arc must be centimetric."""
+    cfg = small_cfg()
+    n = 16
+    world, poses, scans = render_seq(cfg, n)
+
+    pts0, m0 = scans[0]
+    state = odometry.init_state(
+        cfg, jnp.asarray(np.nan_to_num(pts0)), jnp.asarray(m0), jnp.asarray(poses[0])
+    )
+
+    est = [np.asarray(state.pose)]
+    for i in range(1, n):
+        pts, m = scans[i]
+        state, out = odometry.step(
+            cfg, state, jnp.asarray(np.nan_to_num(pts)), jnp.asarray(m)
+        )
+        state, added = odometry.update_keyframes(
+            cfg, state, out.reg_points_world, out.reg_mask
+        )
+        assert bool(out.s2m_converged), f"s2m diverged at frame {i}"
+        est.append(np.asarray(out.pose))
+
+    gt = np.stack([T[:3, 3] for T in poses])
+    est = np.stack(est)
+    ate = np.sqrt(np.mean(np.sum((est - gt) ** 2, axis=1)))
+    assert ate < 0.05, f"ATE {ate:.3f} m"
+    # multiple keyframes along a 15 m arc
+    assert int(state.store.count) >= 2
+
+
+def test_keyframe_decision_thresholds():
+    cfg = small_cfg()
+    world, poses, scans = render_seq(cfg, 1)
+    pts0, m0 = scans[0]
+    state = odometry.init_state(cfg, jnp.asarray(np.nan_to_num(pts0)), jnp.asarray(m0))
+    # same pose: no keyframe
+    assert not bool(
+        odometry.keyframe_decision(cfg, state, state.pose, state.rotq)
+    )
+    # far pose: keyframe (threshold is adaptive but <= 10)
+    far = state.pose + jnp.asarray([50.0, 0.0, 0.0])
+    assert bool(odometry.keyframe_decision(cfg, state, far, state.rotq))
+
+
+def test_submap_selection_topk_with_ties():
+    store = kf.empty_store(8, 16)
+    # place 5 keyframes on a line
+    for i in range(5):
+        store = kf.add_keyframe(
+            store,
+            jnp.bool_(True),
+            jnp.asarray([float(i), 0.0, 0.0]),
+            jnp.asarray([1.0, 0, 0, 0]),
+            jnp.zeros((16, 3)),
+            jnp.ones((16,), bool),
+            jnp.tile(jnp.eye(3), (16, 1, 1)),
+        )
+    sel = kf.select_submap(
+        store, jnp.asarray([0.0, 0.0, 0.0]), jnp.float32(1.0), 2, 2, 2
+    )
+    sel = np.asarray(sel)
+    # nearest-2 = {0, 1}; hulls need >=4/5 frames: convex picks the line
+    # endpoints {0, 4} (extremal); selection is their union with top-2 gating
+    assert sel[0] and sel[1]
+    assert sel[:5].sum() >= 2 and not sel[5:].any()
+
+
+def test_convex_hull_mask_square():
+    pos = jnp.asarray(
+        np.array(
+            [
+                [0, 0, 0],
+                [4, 0, 0],
+                [4, 4, 0],
+                [0, 4, 0],
+                [2, 2, 0],  # interior
+            ],
+            np.float32,
+        )
+    )
+    valid = jnp.ones(5, bool)
+    m = np.asarray(kf.convex_hull_mask(pos, valid))
+    assert m[:4].all()
+    assert not m[4]

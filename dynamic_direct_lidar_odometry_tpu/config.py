@@ -142,13 +142,19 @@ class DetectionConfig:
 
 @dataclasses.dataclass(frozen=True)
 class TrackingConfig:
-    """Tracker lifecycle params (tracking.cpp:16-25)."""
+    """Tracker lifecycle params (tracking.cpp:16-25).
+
+    ``residuum_height_ratio`` is read by the tracker from the *detection*
+    namespace in the reference (tracking.cpp:24); it is mirrored here so
+    the tracker is self-contained.
+    """
 
     max_no_hits: int = 10
     min_dynamic_hits: int = 5
     max_undefined_hits: int = 10
     max_obj_velocity: float = 15.0
     min_dist_from_origin: float = 0.75
+    residuum_height_ratio: float = 0.0
 
 
 @dataclasses.dataclass(frozen=True)
@@ -311,6 +317,7 @@ def config_from_dict(raw: Mapping[str, Any], **overrides: Any) -> DDLOConfig:
             max_undefined_hits=g("odomNode/tracking/maxUndefinedHits", 10),
             max_obj_velocity=g("odomNode/tracking/maxObjVelocity", 10.0),
             min_dist_from_origin=g("odomNode/tracking/minDistFromOrigin", 0.5),
+            residuum_height_ratio=g("odomNode/detection/residuumHeightRatio", 0.0),
         ),
         map=MapConfig(
             publish_full_map=g("mapNode/publishFullMap", False),

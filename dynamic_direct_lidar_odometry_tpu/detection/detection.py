@@ -1,0 +1,143 @@
+"""Dynamic-perception stage: projection -> ground -> segmentation -> objects.
+
+The functional equivalent of ``DetectionModule::projectScan`` +
+``projectResiduals`` + ``applySegmentation`` (src/detection/detection.cpp:
+179-382,448-818), producing the per-frame detection list plus the pixel
+masks the odometry loop needs to drop non-static points.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from dynamic_direct_lidar_odometry_tpu.config import DDLOConfig
+from dynamic_direct_lidar_odometry_tpu.ops import bbox as bbox_ops
+from dynamic_direct_lidar_odometry_tpu.ops import projection, segmentation
+from dynamic_direct_lidar_odometry_tpu.ops.bbox import Objects
+
+
+class DetectionResult(NamedTuple):
+    objects: Objects  # fixed-slot detections
+    pixel_slot: jnp.ndarray  # (H, W) slot per pixel, -1 = background
+    ground: jnp.ndarray  # (H, W) int8 ground mat
+    range_image: jnp.ndarray  # (H, W)
+    residual_image: jnp.ndarray  # (H, W)
+    labels: jnp.ndarray  # (H, W) raw component roots (visualization)
+
+
+def _window_mask(cfg: DDLOConfig) -> jnp.ndarray | None:
+    det = cfg.detection
+    if det.window_row_min is None:
+        return None
+    H, W = det.rows, det.columns
+    r = jnp.arange(H)[:, None]
+    c = jnp.arange(W)[None, :]
+    return (
+        (r >= det.window_row_min)
+        & (r <= det.window_row_max)
+        & (c >= det.window_col_min)
+        & (c <= det.window_col_max)
+    )
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def detect(
+    cfg: DDLOConfig,
+    seg_points_world: jnp.ndarray,  # (H*W, 3) organized, world frame
+    seg_mask: jnp.ndarray,  # (H*W,)
+    reg_points_sensor: jnp.ndarray,  # (N, 3) registration cloud, sensor frame
+    reg_mask: jnp.ndarray,  # (N,)
+    residuals: jnp.ndarray,  # (N,) S2M NN residuals
+    T: jnp.ndarray,  # (4, 4) current pose
+) -> DetectionResult:
+    det = cfg.detection
+    H, W = det.rows, det.columns
+
+    ri = projection.project_organized(
+        seg_points_world, seg_mask, T[:3, 3], H, W, det.minimum_range
+    )
+    res_img = projection.project_residuals(
+        reg_points_sensor,
+        residuals,
+        reg_mask,
+        H,
+        W,
+        ang_bottom=det.ang_bottom,
+        grid="camera" if not _is_lidar(cfg) else "lidar",
+    )
+
+    g = segmentation.ground_removal(
+        ri.points,
+        ri.valid,
+        ri.ranges,
+        det.ground_rows,
+        det.sensor_mount_angle,
+        det.ground_angle_threshold,
+    )
+
+    ang_res_x = 360.0 / W
+    ang_res_y = 2.0 * det.ang_bottom / (H - 1)
+    seg_res = segmentation.label_components(
+        ri.ranges,
+        g.eligible,
+        det.theta,
+        ang_res_x,
+        ang_res_y,
+        window=_window_mask(cfg),
+    )
+
+    stats = segmentation.segment_stats(
+        seg_res.labels,
+        ri.ranges,
+        ri.points,
+        res_img,
+        T[2, 3],
+        det.min_line_num,
+        det.valid_point_num,
+        det.valid_line_num,
+        det.max_distance,
+        det.min_delta_z,
+        det.max_delta_z,
+        det.max_elevation,
+    )
+
+    roots, slot_valid, pixel_slot = segmentation.compact_segments(
+        seg_res.labels, stats, cfg.capacity.max_objects
+    )
+    avg_res = stats.avg_residuum[jnp.clip(roots, 0, stats.avg_residuum.shape[0] - 1)]
+    avg_res = jnp.where(slot_valid, avg_res, 0.0)
+
+    objects = bbox_ops.pca_bboxes(
+        ri.points,
+        pixel_slot,
+        slot_valid,
+        avg_res,
+        cfg.capacity.max_objects,
+        det.max_dim_ratio,
+    )
+    # objects rejected by the dim-ratio gate keep their pixels unlabeled
+    pixel_slot = jnp.where(
+        objects.valid[jnp.clip(pixel_slot, 0, cfg.capacity.max_objects - 1)]
+        & (pixel_slot >= 0),
+        pixel_slot,
+        -1,
+    )
+
+    return DetectionResult(
+        objects=objects,
+        pixel_slot=pixel_slot,
+        ground=g.ground,
+        range_image=ri.ranges,
+        residual_image=res_img,
+        labels=seg_res.labels,
+    )
+
+
+def _is_lidar(cfg: DDLOConfig) -> bool:
+    """Camera-grid residual scatter for the fork's square depth-image mode
+    (odom.cc:804-827); LiDAR grid otherwise."""
+    return cfg.detection.columns != cfg.detection.rows

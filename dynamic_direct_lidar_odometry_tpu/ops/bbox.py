@@ -1,0 +1,247 @@
+"""Oriented bounding boxes: per-segment PCA fit + OBB IoU.
+
+- :func:`pca_bboxes`: batched equivalent of ``DetectionModule::getObject``
+  (detection.cpp:726-782): PCA in the XY plane (z flattened), min/max in
+  the PCA frame, re-centered; state layout [cx, cy, cz, sin(yaw/2), l, w,
+  h] (Object, include/tracking/object.h:9-26). All objects fit in one pass
+  of segment reductions + a closed-form 2x2 eigendecomposition.
+- :func:`obb_iou`: the Sutherland-Hodgman rectangle-intersection 3D IoU of
+  ``include/util/bbox_iou.h:55-155``, vectorized with fixed-size polygon
+  buffers. NOTE (faithful quirk): like the reference (bbox_iou.h:57-58,
+  134-135), the state's ``sin(yaw/2)`` entry is used *directly* as the
+  rectangle rotation angle in radians.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class Objects(NamedTuple):
+    """Fixed-slot detection list (the reference's detected_objects_)."""
+
+    state: jnp.ndarray  # (S, 7) [cx, cy, cz, sin(yaw/2), l, w, h]
+    num_points: jnp.ndarray  # (S,)
+    density: jnp.ndarray  # (S,)
+    avg_residuum: jnp.ndarray  # (S,)
+    valid: jnp.ndarray  # (S,) bool
+
+
+def _eigh2(a, b, c):
+    """Eigendecomposition of symmetric [[a, b], [b, c]], ascending.
+
+    Returns (w0, w1, v0, v1) with v0 the eigenvector of the smaller
+    eigenvalue (matches Eigen::SelfAdjointEigenSolver's ordering used at
+    detection.cpp:745-746)."""
+    half_tr = 0.5 * (a + c)
+    s = jnp.sqrt(jnp.maximum(0.25 * (a - c) ** 2 + b * b, 0.0))
+    w0, w1 = half_tr - s, half_tr + s
+    use_b = jnp.abs(b) > 1e-12
+    v0 = jnp.stack(
+        [
+            jnp.where(use_b, b, jnp.where(a <= c, 1.0, 0.0)),
+            jnp.where(use_b, w0 - a, jnp.where(a <= c, 0.0, 1.0)),
+        ],
+        axis=-1,
+    )
+    v0 = v0 / jnp.maximum(jnp.linalg.norm(v0, axis=-1, keepdims=True), 1e-12)
+    v1 = jnp.stack([-v0[..., 1], v0[..., 0]], axis=-1)
+    return w0, w1, v0, v1
+
+
+@partial(jax.jit, static_argnames=("max_objects",))
+def pca_bboxes(
+    points: jnp.ndarray,  # (H, W, 3) world frame
+    pixel_slot: jnp.ndarray,  # (H, W) int32 slot id, -1 = none
+    slot_valid: jnp.ndarray,  # (S,)
+    avg_residuum: jnp.ndarray,  # (S,)
+    max_objects: int,
+    max_dim_ratio: float,
+) -> Objects:
+    """Fit an oriented bbox per object slot (computeAllObjects +
+    getObject, detection.cpp:726-818), including the dimension-ratio
+    feasibility gate (largest/2nd-largest < max_dim_ratio,
+    detection.cpp:800-804)."""
+    S = max_objects
+    p = points.reshape(-1, 3)
+    seg = pixel_slot.reshape(-1)
+    member = seg >= 0
+    seg = jnp.where(member, seg, S)
+    w = member.astype(p.dtype)
+
+    def ssum(x):
+        return jax.ops.segment_sum(x, seg, num_segments=S + 1)[:S]
+
+    cnt = ssum(w)
+    safe_cnt = jnp.maximum(cnt, 1.0)
+    x, y, z = p[:, 0] * w, p[:, 1] * w, p[:, 2] * w
+    mx, my = ssum(x) / safe_cnt, ssum(y) / safe_cnt
+    # normalized XY covariance (computeCovarianceMatrixNormalized / N)
+    sxx = ssum(p[:, 0] * p[:, 0] * w) / safe_cnt - mx * mx
+    syy = ssum(p[:, 1] * p[:, 1] * w) / safe_cnt - my * my
+    sxy = ssum(p[:, 0] * p[:, 1] * w) / safe_cnt - mx * my
+
+    _, _, v0, v1 = _eigh2(sxx, sxy, syy)  # (S, 2) each
+    E = jnp.stack([v0, v1], axis=-1)  # (S, 2, 2) columns = eigvecs
+
+    # rotate members into each one's slot PCA frame: q = E^T (p_xy - mu)
+    mu = jnp.stack([mx, my], axis=-1)  # (S, 2)
+    E_px = E[jnp.clip(seg, 0, S - 1)]  # (N, 2, 2)
+    mu_px = mu[jnp.clip(seg, 0, S - 1)]
+    d = p[:, :2] - mu_px
+    q = jnp.einsum("nji,nj->ni", E_px, d)  # E^T d
+
+    big = jnp.float32(1e9)
+
+    def smin(v):
+        return jax.ops.segment_min(
+            jnp.where(member, v, big), seg, num_segments=S + 1
+        )[:S]
+
+    def smax(v):
+        return jax.ops.segment_max(
+            jnp.where(member, v, -big), seg, num_segments=S + 1
+        )[:S]
+
+    qx_min, qx_max = smin(q[:, 0]), smax(q[:, 0])
+    qy_min, qy_max = smin(q[:, 1]), smax(q[:, 1])
+    z_min, z_max = smin(p[:, 2]), smax(p[:, 2])
+
+    mean_q = 0.5 * jnp.stack([qx_max + qx_min, qy_max + qy_min], axis=-1)
+    center_xy = jnp.einsum("sij,sj->si", E, mean_q) + mu
+    center_z = 0.5 * (z_max + z_min)
+    yaw = jnp.arctan2(v0[:, 1], v0[:, 0])  # detection.cpp:770
+    dims = jnp.stack([qx_max - qx_min, qy_max - qy_min, z_max - z_min], axis=-1)
+
+    state = jnp.concatenate(
+        [
+            center_xy,
+            center_z[:, None],
+            jnp.sin(yaw / 2.0)[:, None],
+            dims,
+        ],
+        axis=-1,
+    )
+
+    volume = jnp.maximum(dims[:, 0] * dims[:, 1] * dims[:, 2], 1e-9)
+    density = cnt / volume
+
+    ds = jnp.sort(dims, axis=-1)  # ascending
+    ratio_ok = ds[:, 2] / jnp.maximum(ds[:, 1], 1e-9) < max_dim_ratio
+    valid = slot_valid & (cnt > 0) & ratio_ok
+
+    zeros = jnp.zeros_like(cnt)
+    return Objects(
+        state=jnp.where(valid[:, None], state, 0.0),
+        num_points=jnp.where(valid, cnt, zeros),
+        density=jnp.where(valid, density, zeros),
+        avg_residuum=jnp.where(valid, avg_residuum, zeros),
+        valid=valid,
+    )
+
+
+# ---------------------------------------------------------------------------
+# OBB IoU (bbox_iou.h)
+# ---------------------------------------------------------------------------
+
+_PMAX = 16  # intersection of two rectangles has <= 8 vertices
+
+
+def _rect_vertices(cx, cy, w, h, r):
+    """bbox_iou.h:55-71 (r used directly as radians, the reference quirk)."""
+    dx, dy = w / 2.0, h / 2.0
+    dxc, dxs = dx * jnp.cos(r), dx * jnp.sin(r)
+    dyc, dys = dy * jnp.cos(r), dy * jnp.sin(r)
+    vs = jnp.stack(
+        [
+            jnp.stack([-dxc + dys, -dxs - dyc]),
+            jnp.stack([dxc + dys, dxs - dyc]),
+            jnp.stack([dxc - dys, dxs + dyc]),
+            jnp.stack([-dxc - dys, -dxs + dyc]),
+        ]
+    )
+    return vs + jnp.stack([cx, cy])
+
+
+def _intersection_area(r1, r2):
+    """Sutherland-Hodgman clip of rect1 by rect2 (bbox_iou.h:73-127) with a
+    fixed-size vertex buffer."""
+    poly = jnp.zeros((_PMAX, 2))
+    poly = poly.at[:4].set(_rect_vertices(*r1))
+    n = jnp.int32(4)
+    rect2 = _rect_vertices(*r2)
+
+    def clip_edge(carry, i):
+        poly, n = carry
+        p = rect2[i]
+        q = rect2[(i + 1) % 4]
+        # line through p, q: a x + b y + c, inside where <= 0
+        a = q[1] - p[1]
+        b = p[0] - q[0]
+        c = q[0] * p[1] - q[1] * p[0]  # cross(q, p)
+
+        idx = jnp.arange(_PMAX)
+        active = idx < n
+        vals = a * poly[:, 0] + b * poly[:, 1] + c
+        nxt_idx = jnp.where(idx + 1 < n, idx + 1, 0)
+        nxt = poly[nxt_idx]
+        nxt_vals = vals[nxt_idx]
+
+        keep_s = active & (vals <= 0.0)
+        crossing = active & (vals * nxt_vals < 0.0)
+        # intersection point of the clip line with segment (s, nxt)
+        denom = jnp.where(jnp.abs(vals - nxt_vals) < 1e-12, 1e-12, vals - nxt_vals)
+        t = vals / denom
+        ipt = poly + (nxt - poly) * t[:, None]
+
+        # emit up to 2 points per input vertex: [s if keep] then [ipt if cross]
+        emit_cnt = keep_s.astype(jnp.int32) + crossing.astype(jnp.int32)
+        offs = jnp.cumsum(emit_cnt) - emit_cnt
+        new_n = jnp.sum(emit_cnt)
+
+        out = jnp.zeros_like(poly)
+        pos_s = jnp.where(keep_s, offs, _PMAX)
+        out = out.at[jnp.clip(pos_s, 0, _PMAX - 1)].add(
+            jnp.where((pos_s < _PMAX)[:, None], poly, 0.0)
+        )
+        pos_i = jnp.where(crossing, offs + keep_s.astype(jnp.int32), _PMAX)
+        out = out.at[jnp.clip(pos_i, 0, _PMAX - 1)].add(
+            jnp.where((pos_i < _PMAX)[:, None], ipt, 0.0)
+        )
+        # degenerate (<=2 vertices): dead polygon (bbox_iou.h:82-83,112-115)
+        new_n = jnp.where(n <= 2, 0, new_n)
+        return (out, new_n), None
+
+    (poly, n), _ = jax.lax.scan(clip_edge, (poly, n), jnp.arange(4))
+
+    idx = jnp.arange(_PMAX)
+    active = idx < n
+    nxt = poly[jnp.where(idx + 1 < n, idx + 1, 0)]
+    cross = poly[:, 0] * nxt[:, 1] - poly[:, 1] * nxt[:, 0]
+    area = 0.5 * jnp.sum(jnp.where(active, cross, 0.0))
+    return jnp.where(n > 2, area, 0.0)
+
+
+@jax.jit
+def obb_iou(b1: jnp.ndarray, b2: jnp.ndarray) -> jnp.ndarray:
+    """3D IoU of two [cx,cy,cz,sin(yaw/2),l,w,h] boxes (bbox_iou.h:129-155)."""
+    inter = _intersection_area(
+        (b1[0], b1[1], b1[4], b1[5], b1[3]),
+        (b2[0], b2[1], b2[4], b2[5], b2[3]),
+    )
+    min1, max1 = b1[2] - b1[6] / 2, b1[2] + b1[6] / 2
+    min2, max2 = b2[2] - b2[6] / 2, b2[2] + b2[6] / 2
+    h_overlap = jnp.maximum(jnp.minimum(max1, max2) - jnp.maximum(min1, min2), 0.0)
+    inter_vol = h_overlap * inter
+    total = b1[4] * b1[5] * b1[6] + b2[4] * b2[5] * b2[6] - inter_vol
+    iou = jnp.maximum(inter_vol / jnp.where(jnp.abs(total) < 1e-12, 1e-12, total), 0.0)
+    return jnp.minimum(iou, 1.0)
+
+
+obb_iou_matrix = jax.jit(
+    jax.vmap(jax.vmap(obb_iou, in_axes=(None, 0)), in_axes=(0, None))
+)

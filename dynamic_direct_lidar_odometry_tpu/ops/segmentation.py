@@ -1,0 +1,274 @@
+"""Ground removal + range-image segmentation as vectorized image ops.
+
+TPU-native redesign of the LeGO-LOAM-style stages in
+``src/detection/detection.cpp``:
+
+- ``groundRemoval`` (:448-508): the inter-ring slope test becomes a
+  shifted-row stencil over the organized cloud — no loops.
+- ``labelComponents`` BFS (:544-724): connected components under the
+  angle predicate ``atan2(d2 sin a, d1 - d2 cos a) > theta`` become
+  *iterated min-label propagation with pointer jumping* — each sweep is a
+  handful of shifted-image min ops (VPU-friendly), and the label
+  re-gather (``L = L[L]``) squares the effective propagation distance, so
+  convergence is O(log diameter) sweeps instead of a serial BFS.
+- per-segment feasibility gates (:659-699): ``segment_*`` reductions keyed
+  by component root.
+
+BFS seed order does not matter: the predicate is symmetric, so the
+partition into connected components is identical to the reference's.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+_BIG = jnp.int32(2**30)
+
+
+class GroundResult(NamedTuple):
+    ground: jnp.ndarray  # (H, W) int8: -1 no-info, 0 not ground, 1 ground
+    eligible: jnp.ndarray  # (H, W) bool: segmentation candidates (label 0)
+
+
+@partial(jax.jit, static_argnames=("ground_rows",))
+def ground_removal(
+    points: jnp.ndarray,  # (H, W, 3) world frame (organized image)
+    valid: jnp.ndarray,  # (H, W)
+    ranges: jnp.ndarray,  # (H, W)
+    ground_rows: int,
+    sensor_mount_angle: float,
+    ground_angle_threshold: float,
+) -> GroundResult:
+    """Mark ground pixels in the bottom ``ground_rows`` rows.
+
+    detection.cpp:448-508: for each column, compare row r with row r-1
+    (the ring above): angle = atan2(dz, sqrt(dx^2+dy^2)); ground if
+    |angle - mount| <= threshold, marking BOTH rows. The reference's
+    "invalid" test is x==0 (its nan_point_ stays NaN, so the test really
+    fires for unfilled pixels, where full_cloud_ was reset); here the
+    validity mask plays that role.
+    """
+    H, W = ranges.shape
+    upper = jnp.roll(points, 1, axis=0)  # row r-1 at position r
+    upper_valid = jnp.roll(valid, 1, axis=0)
+    diff = upper - points
+    angle = jnp.degrees(
+        jnp.arctan2(diff[..., 2], jnp.linalg.norm(diff[..., :2], axis=-1))
+    )
+    pair_ok = valid & upper_valid
+    is_ground_pair = pair_ok & (
+        jnp.abs(angle - sensor_mount_angle) <= ground_angle_threshold
+    )
+    rows = jnp.arange(H)[:, None]
+    in_band = (rows >= H - ground_rows) & (rows >= 1)
+    is_ground_pair = is_ground_pair & in_band
+    no_info = ~pair_ok & in_band
+
+    ground = is_ground_pair | jnp.roll(is_ground_pair, -1, axis=0)  # mark r-1 too
+    g = jnp.where(ground, 1, jnp.where(no_info, -1, 0)).astype(jnp.int8)
+    # label_mat = -1 for ground or no-return pixels (detection.cpp:494-504)
+    eligible = (~ground) & (ranges > 0)
+    return GroundResult(g, eligible)
+
+
+class SegmentationResult(NamedTuple):
+    labels: jnp.ndarray  # (H, W) int32 component root id; -1 = not segmented
+    edge_up: jnp.ndarray  # (H, W) connectivity to row above (debug/tests)
+    edge_left: jnp.ndarray  # (H, W) connectivity to col left (wrapped)
+
+
+@partial(jax.jit, static_argnames=("max_iters",))
+def label_components(
+    ranges: jnp.ndarray,
+    eligible: jnp.ndarray,
+    theta: float,
+    ang_res_x_deg: float,
+    ang_res_y_deg: float,
+    window: jnp.ndarray | None = None,
+    max_iters: int = 64,
+) -> SegmentationResult:
+    """Angle-predicate connected components (labelComponents,
+    detection.cpp:544-724) via min-label propagation + pointer jumping.
+
+    Args:
+      window: optional (H, W) bool restricting segmentation (the fork's
+        hardcoded 156..356 box, detection.cpp:514-516,569-571).
+    """
+    H, W = ranges.shape
+    if window is not None:
+        eligible = eligible & window
+
+    def edge(shift_axis, shift, sin_a, cos_a):
+        rn = jnp.roll(ranges, shift, axis=shift_axis)
+        en = jnp.roll(eligible, shift, axis=shift_axis)
+        d1 = jnp.maximum(ranges, rn)
+        d2 = jnp.minimum(ranges, rn)
+        ang = jnp.arctan2(d2 * sin_a, d1 - d2 * cos_a)
+        ok = eligible & en & (ang > theta)
+        if shift_axis == 0:  # vertical edges don't wrap (detection.cpp:591)
+            rows = jnp.arange(H)[:, None]
+            ok = ok & ((rows - shift >= 0) & (rows - shift < H))
+        return ok
+
+    sx, cx = jnp.sin(jnp.deg2rad(ang_res_x_deg)), jnp.cos(jnp.deg2rad(ang_res_x_deg))
+    sy, cy = jnp.sin(jnp.deg2rad(ang_res_y_deg)), jnp.cos(jnp.deg2rad(ang_res_y_deg))
+
+    e_up = edge(0, 1, sy, cy)  # connect (r, c) <-> (r-1, c)
+    e_down = edge(0, -1, sy, cy)
+    e_left = edge(1, 1, sx, cx)  # connect (r, c) <-> (r, c-1), wrapping
+    e_right = edge(1, -1, sx, cx)
+
+    init = jnp.where(
+        eligible, jnp.arange(H * W, dtype=jnp.int32).reshape(H, W), _BIG
+    )
+
+    def propagate(L):
+        up = jnp.where(e_up, jnp.roll(L, 1, axis=0), _BIG)
+        down = jnp.where(e_down, jnp.roll(L, -1, axis=0), _BIG)
+        left = jnp.where(e_left, jnp.roll(L, 1, axis=1), _BIG)
+        right = jnp.where(e_right, jnp.roll(L, -1, axis=1), _BIG)
+        nb = jnp.minimum(jnp.minimum(up, down), jnp.minimum(left, right))
+        return jnp.where(eligible, jnp.minimum(L, nb), _BIG)
+
+    def jump(L):
+        flat = L.reshape(-1)
+        safe = jnp.where(flat < _BIG, flat, 0)
+        hop = jnp.where(flat < _BIG, flat[safe], flat)
+        return hop.reshape(H, W)
+
+    def cond(state):
+        L, prev, it = state
+        return (it < max_iters) & jnp.any(L != prev)
+
+    def body(state):
+        L, _, it = state
+        Ln = jump(jump(propagate(L)))
+        return Ln, L, it + 1
+
+    L, _, _ = jax.lax.while_loop(cond, body, (init, init + 1, jnp.int32(0)))
+    labels = jnp.where(eligible, L, -1)
+    return SegmentationResult(labels, e_up, e_left)
+
+
+class SegmentStats(NamedTuple):
+    """Per-root statistics + feasibility (flat arrays indexed by root id)."""
+
+    size: jnp.ndarray  # (H*W,)
+    line_count: jnp.ndarray
+    min_z: jnp.ndarray
+    max_z: jnp.ndarray
+    max_dist: jnp.ndarray
+    avg_residuum: jnp.ndarray
+    feasible: jnp.ndarray  # (H*W,) bool
+
+
+@jax.jit
+def segment_stats(
+    labels: jnp.ndarray,  # (H, W) from label_components
+    ranges: jnp.ndarray,
+    points: jnp.ndarray,  # (H, W, 3) world frame
+    residual_img: jnp.ndarray,  # (H, W)
+    sensor_height: jnp.ndarray,  # () T_(2,3)
+    min_line_num: int,
+    valid_point_num: int,
+    valid_line_num: int,
+    max_distance: float,
+    min_delta_z: float,
+    max_delta_z: float,
+    max_elevation: float,
+) -> SegmentStats:
+    """Feasibility gates of labelComponents (detection.cpp:659-699).
+
+    The reference tracks min/max z and distance incrementally over BFS
+    expansion edges (and its min_z update has an ``else if`` quirk,
+    detection.cpp:629-635); here the equivalent reductions run over all
+    member pixels. NOTE: the reference's size gate uses a hardcoded 50,
+    not minPointNum (detection.cpp:669).
+    """
+    H, W = labels.shape
+    n = H * W
+    lab = labels.reshape(-1)
+    member = lab >= 0
+    seg = jnp.where(member, lab, n)
+
+    ones = member.astype(jnp.float32)
+    size = jax.ops.segment_sum(ones, seg, num_segments=n + 1)[:n]
+
+    # distinct-rows count: scan over rows, scatter-max presence per root
+    rows_of = jnp.repeat(jnp.arange(H), W)
+
+    def row_scan(carry, r):
+        present = jnp.zeros((n + 1,), jnp.float32)
+        sel = jnp.where(rows_of == r, seg, n)
+        present = present.at[sel].max(ones)
+        return carry + present[:n], None
+
+    line_count, _ = jax.lax.scan(
+        row_scan, jnp.zeros((n,), jnp.float32), jnp.arange(H)
+    )
+
+    z = points[..., 2].reshape(-1)
+    big = jnp.float32(1e9)
+    min_z = jax.ops.segment_min(jnp.where(member, z, big), seg, num_segments=n + 1)[:n]
+    max_z = jax.ops.segment_max(jnp.where(member, z, -big), seg, num_segments=n + 1)[:n]
+    r = ranges.reshape(-1)
+    max_dist = jax.ops.segment_max(
+        jnp.where(member, r, -big), seg, num_segments=n + 1
+    )[:n]
+
+    res = residual_img.reshape(-1)
+    res_pos = member & (res > 0)
+    res_sum = jax.ops.segment_sum(
+        jnp.where(res_pos, res, 0.0), seg, num_segments=n + 1
+    )[:n]
+    res_cnt = jax.ops.segment_sum(
+        res_pos.astype(jnp.float32), seg, num_segments=n + 1
+    )[:n]
+    avg_res = jnp.where(res_cnt > 0, res_sum / jnp.maximum(res_cnt, 1.0), 0.0)
+
+    feasible = (size >= 50) & (line_count >= min_line_num)
+    feasible = feasible | (
+        (size >= valid_point_num) & (line_count >= valid_line_num)
+    )
+    feasible = feasible & (max_dist <= max_distance)
+    dz = max_z - min_z
+    feasible = feasible & (min_delta_z <= dz) & (dz <= max_delta_z)
+    feasible = feasible & ((min_z - sensor_height) <= max_elevation)
+    feasible = feasible & (size > 0)
+
+    return SegmentStats(size, line_count, min_z, max_z, max_dist, avg_res, feasible)
+
+
+@partial(jax.jit, static_argnames=("max_objects",))
+def compact_segments(
+    labels: jnp.ndarray, stats: SegmentStats, max_objects: int
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Pack feasible roots into object slots.
+
+    Returns:
+      slot_roots: (max_objects,) root id per slot (or -1)
+      slot_valid: (max_objects,) bool
+      pixel_slot: (H, W) int32 slot per pixel (-1 if none / infeasible) —
+        the analogue of the reference's per-object index lists
+        (label_indices_i_, detection.cpp:524-538).
+    """
+    H, W = labels.shape
+    n = H * W
+    # top-max_objects feasible roots by size (reference keeps all; a
+    # capacity cap must prefer big objects)
+    score = jnp.where(stats.feasible, stats.size, -1.0)
+    top_sz, top_roots = jax.lax.top_k(score, max_objects)
+    slot_valid = top_sz > 0
+    slot_roots = jnp.where(slot_valid, top_roots, -1)
+
+    root_to_slot = jnp.full((n + 1,), -1, jnp.int32)
+    root_to_slot = root_to_slot.at[jnp.where(slot_valid, top_roots, n)].set(
+        jnp.arange(max_objects, dtype=jnp.int32), mode="drop"
+    )
+    lab = labels.reshape(-1)
+    pixel_slot = jnp.where(lab >= 0, root_to_slot[jnp.where(lab >= 0, lab, 0)], -1)
+    return slot_roots.astype(jnp.int32), slot_valid, pixel_slot.reshape(H, W)

@@ -1,0 +1,203 @@
+"""Full DDLO pipeline: odometry + dynamic perception + tracking.
+
+The functional equivalent of the reference's ``ddlo_odom_node`` process —
+``OdomNode::icpCB`` with ``dynamicDetection=true`` (odom.cc:614-729) —
+as a single pure transition:
+
+    state', outputs = step(cfg, state, scan, timestamp)
+
+Stage order matches the reference exactly:
+  preprocess -> S2S -> submap -> S2M -> residuals   (odometry.step)
+  -> project + segment + detect objects             (detection.detect)
+  -> track, classify static/dynamic                 (tracker.update)
+  -> drop UNDEFINED/DYNAMIC points                  (odom.cc:867-892)
+  -> re-filter the static cloud                     (odom.cc:901-918)
+  -> keyframe update on the dynamic-free cloud      (odom.cc:696-699)
+
+The whole transition is jit-compiled; batched replay is ``vmap(step)`` and
+multi-host sweeps shard the batch axis (see parallel/sharding.py).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from dynamic_direct_lidar_odometry_tpu.config import DDLOConfig
+from dynamic_direct_lidar_odometry_tpu.core import se3
+from dynamic_direct_lidar_odometry_tpu.core.cloud import SENTINEL
+from dynamic_direct_lidar_odometry_tpu.detection import detection
+from dynamic_direct_lidar_odometry_tpu.odometry import odometry
+from dynamic_direct_lidar_odometry_tpu.ops import filters
+from dynamic_direct_lidar_odometry_tpu.tracking import tracker
+from dynamic_direct_lidar_odometry_tpu.tracking.tracker import DYNAMIC, UNDEFINED
+
+
+class DDLOState(NamedTuple):
+    odom: odometry.OdomState
+    tracks: tracker.TrackerState
+    prev_stamp: jnp.ndarray  # () f32 seconds
+
+
+class DDLOOutputs(NamedTuple):
+    odom: odometry.OdomOutputs
+    detections: detection.DetectionResult
+    tracks: tracker.TrackerOutputs
+    # world-frame clouds (fixed capacity + masks)
+    static_points: jnp.ndarray  # (H*W, 3) static-only segmentation cloud
+    static_mask: jnp.ndarray
+    dynamic_mask: jnp.ndarray  # (H*W,) pixels of DYNAMIC objects
+    non_static_mask: jnp.ndarray  # (H*W,) UNDEFINED + DYNAMIC pixels
+    ground_mask: jnp.ndarray  # (H*W,)
+    keyframe_added: jnp.ndarray  # () bool
+    new_keyframe_points: jnp.ndarray  # (max_points, 3) world (if added)
+    new_keyframe_mask: jnp.ndarray
+
+
+def init_state(
+    cfg: DDLOConfig,
+    raw_points: jnp.ndarray,
+    raw_mask: jnp.ndarray,
+    timestamp: float | jnp.ndarray = 0.0,
+    T0: jnp.ndarray | None = None,
+) -> DDLOState:
+    return DDLOState(
+        odom=odometry.init_state(cfg, raw_points, raw_mask, T0),
+        tracks=tracker.empty_state(cfg.capacity.max_tracks),
+        prev_stamp=jnp.float32(timestamp),
+    )
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def step(
+    cfg: DDLOConfig,
+    state: DDLOState,
+    raw_points: jnp.ndarray,
+    raw_mask: jnp.ndarray,
+    timestamp: jnp.ndarray,
+) -> Tuple[DDLOState, DDLOOutputs]:
+    H, W = cfg.detection.rows, cfg.detection.columns
+
+    # ---- odometry (odom.cc:653-683) ----
+    odo_state, odo = odometry.step(cfg, state.odom, raw_points, raw_mask)
+
+    # segmentation scan: the RAW organized cloud transformed to world
+    # (transformScans, odom.cc:957-963)
+    seg_world = se3.transform_points(odo.T, raw_points)
+    seg_world = jnp.where(raw_mask[:, None], seg_world, SENTINEL)
+
+    if not cfg.dynamic_detection:
+        static_pts, static_mask = seg_world, raw_mask
+        det = _empty_detection(cfg)
+        trk_out = tracker.TrackerOutputs(
+            clear_map_boxes=state.tracks.bbox_hist,
+            clear_map_valid=jnp.zeros_like(state.tracks.bbox_hist[..., 0], bool),
+            matched=jnp.full((cfg.capacity.max_objects,), -1, jnp.int32),
+            spawned=jnp.zeros((cfg.capacity.max_objects,), bool),
+        )
+        trk_state = state.tracks
+        non_static = jnp.zeros((H * W,), bool)
+        dynamic = jnp.zeros((H * W,), bool)
+        ground = jnp.zeros((H * W,), bool)
+        kf_pts, kf_mask = odo.reg_points_world, odo.reg_mask
+    else:
+        # ---- dynamic perception (applySegmentation, odom.cc:853-919) ----
+        # prev_points here is THIS scan's preprocessed cloud (sensor frame):
+        # odometry.step stored it for the next S2S — exactly the cloud whose
+        # residuals came out of S2M.
+        det = detection.detect(
+            cfg,
+            seg_world,
+            raw_mask,
+            odo_state.prev_points,
+            odo_state.prev_mask,
+            odo.residuals,
+            odo.T,
+        )
+
+        dt = jnp.maximum(timestamp - state.prev_stamp, 1e-3)
+        trk_state, trk_out = tracker.update(
+            cfg.tracking, state.tracks, det.objects, dt
+        )
+
+        # ---- remove UNDEFINED + DYNAMIC points (odom.cc:867-892) ----
+        non_static_slots = tracker.status_detection_mask(
+            trk_state, (UNDEFINED, DYNAMIC), cfg.capacity.max_objects
+        )
+        dynamic_slots = tracker.status_detection_mask(
+            trk_state, (DYNAMIC,), cfg.capacity.max_objects
+        )
+        ps = det.pixel_slot.reshape(-1)
+        in_obj = ps >= 0
+        psc = jnp.clip(ps, 0, cfg.capacity.max_objects - 1)
+        non_static = in_obj & non_static_slots[psc]
+        dynamic = in_obj & dynamic_slots[psc]
+        ground = (det.ground == 1).reshape(-1)
+
+        static_mask = raw_mask & ~non_static
+        static_pts = jnp.where(static_mask[:, None], seg_world, SENTINEL)
+
+        # ---- re-filter static cloud (odom.cc:901-918) ----
+        pre = cfg.preprocessing
+        m = static_mask
+        if pre.downsampling.use:
+            m = m & filters.rowcol_downsample_mask(
+                H, W, pre.downsampling.row, pre.downsampling.col
+            )
+        if pre.crop_box.use:
+            m = m & filters.crop_box_mask(
+                static_pts, pre.crop_box.size, odo.pose
+            )
+        if pre.voxel_scan.use:
+            kf_pts, kf_mask = filters.voxel_downsample(
+                static_pts, m, pre.voxel_scan.res, cfg.capacity.max_points
+            )
+        else:
+            kf_pts, kf_mask = filters.compact(
+                static_pts, m, cfg.capacity.max_points
+            )
+
+    # ---- keyframe update on the (dynamic-free) world cloud ----
+    odo_state, added = odometry.update_keyframes(cfg, odo_state, kf_pts, kf_mask)
+
+    new_state = DDLOState(
+        odom=odo_state, tracks=trk_state, prev_stamp=jnp.float32(timestamp)
+    )
+    outputs = DDLOOutputs(
+        odom=odo._replace(new_keyframe=added),
+        detections=det,
+        tracks=trk_out,
+        static_points=static_pts,
+        static_mask=static_mask,
+        dynamic_mask=dynamic,
+        non_static_mask=non_static,
+        ground_mask=ground,
+        keyframe_added=added,
+        new_keyframe_points=kf_pts,
+        new_keyframe_mask=kf_mask,
+    )
+    return new_state, outputs
+
+
+def _empty_detection(cfg: DDLOConfig) -> detection.DetectionResult:
+    H, W = cfg.detection.rows, cfg.detection.columns
+    S = cfg.capacity.max_objects
+    from dynamic_direct_lidar_odometry_tpu.ops.bbox import Objects
+
+    return detection.DetectionResult(
+        objects=Objects(
+            state=jnp.zeros((S, 7)),
+            num_points=jnp.zeros((S,)),
+            density=jnp.zeros((S,)),
+            avg_residuum=jnp.zeros((S,)),
+            valid=jnp.zeros((S,), bool),
+        ),
+        pixel_slot=jnp.full((H, W), -1, jnp.int32),
+        ground=jnp.zeros((H, W), jnp.int8),
+        range_image=jnp.zeros((H, W)),
+        residual_image=jnp.zeros((H, W)),
+        labels=jnp.full((H, W), -1, jnp.int32),
+    )

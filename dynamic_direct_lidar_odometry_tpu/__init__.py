@@ -26,5 +26,18 @@ __version__ = "0.1.0"
 
 from dynamic_direct_lidar_odometry_tpu.config import (  # noqa: F401
     DDLOConfig,
+    capacity_for_scan,
+    doals_config,
+    kantplatz_config,
     load_config,
 )
+
+__all__ = [
+    "DDLOConfig",
+    "capacity_for_scan",
+    "doals_config",
+    "kantplatz_config",
+    "load_config",
+    # submodules (import explicitly): core, ops, odometry, detection,
+    # tracking, pipeline, mapping, parallel, io, utils, runner, cli
+]

@@ -333,6 +333,35 @@ def config_from_dict(raw: Mapping[str, Any], **overrides: Any) -> DDLOConfig:
     return cfg
 
 
+def capacity_for_scan(H: int, W: int) -> CapacityConfig:
+    """Size the static buffers to a given organized-scan geometry.
+
+    The reference's containers grow to whatever the data needs; the TPU
+    buffers must be picked up front. These heuristics bound the
+    post-voxel registration cloud by the raw scan size and scale the
+    submap/map accordingly.
+    """
+
+    def pow2(n: int, lo: int, hi: int) -> int:
+        p = lo
+        while p < n and p < hi:
+            p *= 2
+        return p
+
+    hw = H * W
+    max_points = pow2(hw // 2, 1024, 65536)
+    kf_points = pow2(hw // 4, 1024, 32768)
+    return CapacityConfig(
+        max_points=max_points,
+        max_submap_points=min(kf_points * 8, 262144),
+        max_keyframes=128,
+        max_keyframe_points=kf_points,
+        max_objects=32,
+        max_tracks=32,
+        nn_chunk=min(2048, max_points),
+    )
+
+
 def load_config(path: str, **overrides: Any) -> DDLOConfig:
     """Load a reference-format YAML config file."""
     import yaml

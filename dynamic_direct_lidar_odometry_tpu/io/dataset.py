@@ -1,0 +1,150 @@
+"""Sequence datasets: organized scan streams on disk.
+
+The reference replays rosbags (launch/play_kantplatz_data.launch,
+launch/play_DOALS_data.launch; README.md:26-29). ROS is not a dependency
+here, so sequences live as a simple ``.npz`` bundle:
+
+  points:  (S, H*W, 3) float32, sensor frame, NaN for no-return
+  mask:    (S, H*W)   bool
+  stamps:  (S,)       float64 seconds
+  H, W:    ()         int
+
+:func:`convert_rosbag` converts a reference bag into this format when a
+rosbag reader is importable (``rosbags``/``rospy`` — neither ships in
+this image, so it degrades to a clear error), and
+:func:`synthetic_sequence` generates the built-in ray-cast town used by
+tests and benches.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class ScanSequence:
+    points: np.ndarray  # (S, H*W, 3) float32
+    mask: np.ndarray  # (S, H*W) bool
+    stamps: np.ndarray  # (S,) float64
+    H: int
+    W: int
+    gt_poses: Optional[np.ndarray] = None  # (S, 4, 4) if known
+
+    def __len__(self) -> int:
+        return len(self.points)
+
+    def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray, float]]:
+        for i in range(len(self)):
+            yield self.points[i], self.mask[i], float(self.stamps[i])
+
+    def save(self, path: str) -> None:
+        data = dict(
+            points=self.points, mask=self.mask, stamps=self.stamps,
+            H=self.H, W=self.W,
+        )
+        if self.gt_poses is not None:
+            data["gt_poses"] = self.gt_poses
+        np.savez_compressed(path, **data)
+
+    @staticmethod
+    def load(path: str) -> "ScanSequence":
+        d = np.load(path)
+        return ScanSequence(
+            points=d["points"], mask=d["mask"], stamps=d["stamps"],
+            H=int(d["H"]), W=int(d["W"]),
+            gt_poses=d["gt_poses"] if "gt_poses" in d else None,
+        )
+
+
+def synthetic_sequence(
+    n_scans: int = 40,
+    H: int = 64,
+    W: int = 1024,
+    n_static: int = 12,
+    n_dynamic: int = 2,
+    dt: float = 0.1,
+    seed: int = 0,
+    radius: float = 8.0,
+    angle_span: float = np.pi / 2,
+) -> ScanSequence:
+    """Ray-cast town sequence with ground-truth poses and moving boxes —
+    the stand-in for the DOALS/kantplatz bags."""
+    from dynamic_direct_lidar_odometry_tpu.io import synthetic
+
+    rng = np.random.default_rng(seed)
+    world = synthetic.World.town(seed=seed, n_static=n_static)
+    movers: List[synthetic.Box] = []
+    for i in range(n_dynamic):
+        ang = 2 * np.pi * i / max(n_dynamic, 1)
+        pos = np.array([5.0 * np.cos(ang), 5.0 * np.sin(ang), 0.9])
+        vel = np.array([-np.sin(ang), np.cos(ang), 0.0]) * 1.5
+        movers.append(
+            synthetic.Box(pos, np.array([0.8, 0.8, 1.8]), vel)
+        )
+    poses = synthetic.circular_trajectory(
+        n_scans, radius=radius, angle_span=angle_span
+    )
+    pts_all, mask_all = [], []
+    for i, T in enumerate(poses):
+        pts, mask = synthetic.render_scan(
+            world, T, H=H, W=W, t=dt * i, extra_boxes=movers, rng=rng
+        )
+        pts_all.append(pts)
+        mask_all.append(mask)
+    return ScanSequence(
+        points=np.stack(pts_all),
+        mask=np.stack(mask_all),
+        stamps=np.arange(n_scans, dtype=np.float64) * dt,
+        H=H,
+        W=W,
+        gt_poses=np.stack(poses),
+    )
+
+
+def convert_rosbag(
+    bag_path: str,
+    topic: str,
+    H: int,
+    W: int,
+    out_path: str,
+) -> None:
+    """Convert a reference rosbag's PointCloud2 stream to a ScanSequence.
+
+    Requires the pure-python ``rosbags`` package (not bundled in this
+    image); the function exists so the reference's datasets
+    (README.md:26-29) can be ported 1:1 where it is available.
+    """
+    try:
+        from rosbags.highlevel import AnyReader  # type: ignore
+        from rosbags.typesys import Stores, get_typestore  # noqa: F401
+    except ImportError as e:  # pragma: no cover
+        raise ImportError(
+            "rosbag conversion needs the 'rosbags' package; install it "
+            "or convert offline with scripts/convert_bag.py on a ROS host"
+        ) from e
+    import pathlib
+
+    pts_all, mask_all, stamps = [], [], []
+    with AnyReader([pathlib.Path(bag_path)]) as reader:  # pragma: no cover
+        conns = [c for c in reader.connections if c.topic == topic]
+        for conn, ts, raw in reader.messages(connections=conns):
+            msg = reader.deserialize(raw, conn.msgtype)
+            arr = np.frombuffer(msg.data, dtype=np.uint8)
+            arr = arr.reshape(msg.height * msg.width, msg.point_step)
+            xyz = arr[:, :12].view(np.float32).reshape(-1, 3)
+            if len(xyz) != H * W:
+                continue
+            m = np.isfinite(xyz).all(axis=1)
+            pts_all.append(np.where(m[:, None], xyz, np.nan))
+            mask_all.append(m)
+            stamps.append(ts * 1e-9)
+    ScanSequence(
+        points=np.stack(pts_all).astype(np.float32),
+        mask=np.stack(mask_all),
+        stamps=np.asarray(stamps),
+        H=H,
+        W=W,
+    ).save(out_path)

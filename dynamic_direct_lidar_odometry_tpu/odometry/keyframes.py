@@ -175,6 +175,7 @@ def _top_k_ties_mask(ds: jnp.ndarray, eligible: jnp.ndarray, k: int) -> jnp.ndar
     """pushSubmapIndices semantics (odom.cc:1180-1213): mark every eligible
     frame whose distance <= the k-th smallest eligible distance."""
     d = jnp.where(eligible, ds, _INF)
+    k = min(k, d.shape[0])  # k may exceed a small keyframe capacity
     kth = -jax.lax.top_k(-d, k)[0][k - 1]
     return eligible & (d <= kth)
 

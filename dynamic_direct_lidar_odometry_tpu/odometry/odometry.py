@@ -196,7 +196,10 @@ def step(
         cfg.submap.kcv,
         cfg.submap.kcc,
     )
-    max_slots = cfg.submap.knn + cfg.submap.kcv + cfg.submap.kcc
+    max_slots = min(
+        cfg.submap.knn + cfg.submap.kcv + cfg.submap.kcc,
+        cfg.capacity.max_keyframes,
+    )
     sub_pts, sub_mask, sub_covs = kf.gather_submap(state.store, sel, max_slots)
 
     # ---- scan-to-submap with S2S as guess (odom.cc:787-793) ----

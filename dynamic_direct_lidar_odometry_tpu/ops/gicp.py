@@ -167,7 +167,7 @@ class _LMState(NamedTuple):
     H: jnp.ndarray
 
 
-@partial(jax.jit, static_argnames=("settings",))
+@partial(jax.jit, static_argnames=("settings", "axis_name"))
 def align(
     src_pts: jnp.ndarray,
     src_mask: jnp.ndarray,
@@ -177,6 +177,7 @@ def align(
     tgt_covs: jnp.ndarray,
     guess: jnp.ndarray,
     settings: GICPSettings = GICPSettings(),
+    axis_name: str | None = None,
 ) -> GICPResult:
     """GICP alignment: find T minimizing sum (b - T a)^T M (b - T a).
 
@@ -188,15 +189,25 @@ def align(
       src_pts/tgt_pts: (N,3)/(M,3) f32, invalid rows at SENTINEL.
       src_covs/tgt_covs: (N,3,3)/(M,3,3) PLANE-regularized covariances.
       guess: (4,4) initial transform.
+      axis_name: if set, the SOURCE point axis is sharded over this mesh
+        axis (``shard_map``): the (y, H, b) normal equations and the error
+        re-evaluations are ``psum``-reduced over it — the collective
+        equivalent of the reference's per-thread OpenMP H/b partials
+        (nano_gicp_impl.hpp:284-339). The target cloud must be replicated
+        over the axis; residuals/correspondences come back shard-local.
     """
     s = settings
     tgt_q = jnp.where(tgt_mask[:, None], tgt_pts, SENTINEL)
 
+    def _allsum(x):
+        return jax.lax.psum(x, axis_name) if axis_name is not None else x
+
     def lin(T):
-        return _linearize(
+        y0, H, b, aux = _linearize(
             T, src_pts, src_mask, src_covs, tgt_q, tgt_mask, tgt_covs,
             s.max_correspondence_distance,
         )
+        return _allsum(y0), _allsum(H), _allsum(b), aux
 
     def lm_inner(x0, lm_lambda, y0, H, b, aux):
         """One step_lm (lsq_registration_impl.hpp:176-232): inner loop over
@@ -214,7 +225,7 @@ def align(
             )
             delta = se3.se3_exp(d)
             xi = delta @ x
-            yi = _compute_error(xi, src_pts, aux)
+            yi = _allsum(_compute_error(xi, src_pts, aux))
             rho = (y0 - yi) / jnp.dot(d, lam * d - b)
 
             reject = rho < 0
@@ -318,7 +329,7 @@ def align(
     residuals = jnp.sqrt(jnp.maximum(sqd, 0.0)) * src_mask
     corr = jnp.where(valid, idx, -1)
 
-    num_inliers = jnp.sum(valid.astype(jnp.int32))
+    num_inliers = _allsum(jnp.sum(valid.astype(jnp.int32)))
     return GICPResult(
         T=st.x0,
         converged=st.converged & (num_inliers > 0),

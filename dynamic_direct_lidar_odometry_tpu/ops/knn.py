@@ -11,6 +11,12 @@ The cross term is a (Q_chunk x 3) @ (3 x T_chunk) matmul, which XLA tiles
 onto the MXU, and the running min/top-k reduction never materializes the
 full Q x T distance matrix (chunked ``lax.scan`` over both sides).
 
+Numerics: the expansion cancels catastrophically in low precision (and
+TPU f32 matmuls default to bf16 passes), so candidate *selection* runs the
+cross matmul at ``Precision.HIGHEST`` and the returned squared distances
+are re-computed exactly as ``||q - t[idx]||^2`` on the selected pairs —
+selection tolerates ~1e-4 ties, residuals must not.
+
 At DDLO scales (Q ~ 1e4 voxelized points, T ~ 1e5 submap points) a full
 sweep is ~1e10 FLOP-cheap on a TPU chip and, unlike a kd-tree, is exactly
 batchable with ``vmap`` over registration batches.
@@ -75,7 +81,7 @@ def nn1(
             best_d, best_i, base = carry
             tc, tc_sq = xs
             # (C_q, C_t) squared distances via one MXU matmul
-            cross = qc @ tc.T
+            cross = jnp.dot(qc, tc.T, precision=jax.lax.Precision.HIGHEST)
             d = q_sq[:, None] + tc_sq[None, :] - 2.0 * cross
             cd = jnp.min(d, axis=1)
             ci = jnp.argmin(d, axis=1).astype(jnp.int32) + base
@@ -92,10 +98,13 @@ def nn1(
             jnp.int32(0),
         )
         (best_d, best_i, _), _ = jax.lax.scan(scan_target, init, (t_chunks, t_sq))
-        return best_i, jnp.maximum(best_d, 0.0)
+        return best_i, best_d
 
-    idx, sqd = jax.lax.map(per_query_chunk, q_chunks)
-    return idx.reshape(-1)[:Q], sqd.reshape(-1)[:Q]
+    idx, _ = jax.lax.map(per_query_chunk, q_chunks)
+    idx = idx.reshape(-1)[:Q]
+    diff = query - t[idx]
+    sqd = jnp.sum(diff * diff, axis=-1)
+    return idx, sqd
 
 
 @partial(jax.jit, static_argnames=("k", "query_chunk", "target_chunk"))
@@ -130,7 +139,7 @@ def knn(
         def scan_target(carry, xs):
             best_d, best_i, base = carry
             tc, tc_sq = xs
-            cross = qc @ tc.T
+            cross = jnp.dot(qc, tc.T, precision=jax.lax.Precision.HIGHEST)
             d = q_sq[:, None] + tc_sq[None, :] - 2.0 * cross  # (C_q, C_t)
             cd, ci = jax.lax.top_k(-d, k)  # chunk-local k smallest
             cd = -cd
@@ -148,10 +157,15 @@ def knn(
             jnp.int32(0),
         )
         (best_d, best_i, _), _ = jax.lax.scan(scan_target, init, (t_chunks, t_sq))
-        return best_i, jnp.maximum(best_d, 0.0)
+        return best_i, best_d
 
-    idx, sqd = jax.lax.map(per_query_chunk, q_chunks)
+    idx, _ = jax.lax.map(per_query_chunk, q_chunks)
+    idx = idx.reshape(-1, k)[:Q]
+    diff = query[:, None, :] - t[idx]  # (Q, k, 3)
+    sqd = jnp.sum(diff * diff, axis=-1)
+    # exact distances can reorder near-ties from the approximate merge
+    order = jnp.argsort(sqd, axis=1)
     return (
-        idx.reshape(-1, k)[:Q],
-        sqd.reshape(-1, k)[:Q],
+        jnp.take_along_axis(idx, order, axis=1),
+        jnp.take_along_axis(sqd, order, axis=1),
     )

@@ -1,0 +1,202 @@
+"""Offline replay driver: the launch-file + node-graph equivalent.
+
+What ``launch/ddlo.launch`` wires out of three ROS processes
+(``ddlo_odom_node``, ``ddlo_map_node``, ``trajectories_server`` —
+SURVEY.md §1) becomes one host loop around the jitted pipeline
+transition:
+
+  per scan:  state', out = pipeline.step(cfg, state, scan)     [device]
+             map    += keyframe        (if out.keyframe_added) [device]
+             map    -= clear_map boxes (tracker feedback)      [device]
+             pose row -> PoseRecorder, bboxes -> ObjectTrajectories [host]
+
+plus the aux subsystems the reference exposes: per-stage profiling
+(odom.cc:189-192), evaluation dumps of per-frame dynamic indices + poses
+(detection.cpp:936-954), checkpoint/resume (new), and end-of-run map
+save via the save_pcd equivalent (map.cc:158-189).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from dynamic_direct_lidar_odometry_tpu import pipeline
+from dynamic_direct_lidar_odometry_tpu.config import DDLOConfig
+from dynamic_direct_lidar_odometry_tpu.io import pcd as pcd_io
+from dynamic_direct_lidar_odometry_tpu.io.dataset import ScanSequence
+from dynamic_direct_lidar_odometry_tpu.mapping import mapper
+from dynamic_direct_lidar_odometry_tpu.tracking.tracker import DYNAMIC
+from dynamic_direct_lidar_odometry_tpu.utils import checkpoint as ckpt
+from dynamic_direct_lidar_odometry_tpu.utils import profiling, trajectory
+
+
+@dataclasses.dataclass
+class ReplayResult:
+    poses: np.ndarray  # (S, 3)
+    quats: np.ndarray  # (S, 4) wxyz
+    stamps: np.ndarray  # (S,)
+    num_keyframes: int
+    map_points: int
+    profiler: profiling.Profiler
+    pose_recorder: trajectory.PoseRecorder
+    object_trajectories: trajectory.ObjectTrajectories
+    dynamic_counts: np.ndarray  # (S,) dynamic pixels per scan
+    final_state: pipeline.DDLOState
+    map_state: mapper.MapState
+
+
+def replay(
+    cfg: DDLOConfig,
+    seq: ScanSequence,
+    out_dir: Optional[str] = None,
+    map_capacity: int = 500_000,
+    checkpoint_every: int = 0,
+    resume_from: Optional[str] = None,
+    evaluate: bool = False,
+    progress: bool = False,
+) -> ReplayResult:
+    """Run the full DDLO node graph over a scan sequence."""
+    if out_dir:
+        os.makedirs(out_dir, exist_ok=True)
+
+    prof = profiling.Profiler()
+    pose_rec = trajectory.PoseRecorder()
+    obj_trajs = trajectory.ObjectTrajectories()
+
+    pts0 = jnp.asarray(seq.points[0])
+    msk0 = jnp.asarray(seq.mask[0])
+    state = pipeline.init_state(cfg, pts0, msk0, float(seq.stamps[0]))
+    map_state = mapper.empty_map(map_capacity)
+    # the first keyframe (created by init, odom.cc:480-516) reaches the
+    # map node like every other keyframe (map.cc:101-131)
+    map_state = mapper.add_keyframe(
+        map_state,
+        state.odom.store.points[0],
+        state.odom.store.masks[0],
+        cfg.map.leaf_size,
+        use_voxel_filter=cfg.map.use_voxel_filter,
+    )
+    start = 1
+
+    if resume_from:
+        (state, map_state), meta = ckpt.restore(
+            resume_from, (state, map_state)
+        )
+        start = int(meta.get("next_scan", 1))
+
+    poses, quats, dyn_counts = [], [], []
+    for i in range(start, len(seq)):
+        pts = jnp.asarray(seq.points[i])
+        msk = jnp.asarray(seq.mask[i])
+        ts = jnp.float32(seq.stamps[i])
+
+        with prof.stage("total") as h:
+            state, out = pipeline.step(cfg, state, pts, msk, ts)
+            h.value = out
+
+        # ---- map node feedback loop (map.cc:101-156) ----
+        if bool(out.keyframe_added):
+            map_state = mapper.add_keyframe(
+                map_state,
+                out.new_keyframe_points,
+                out.new_keyframe_mask,
+                cfg.map.leaf_size,
+                use_voxel_filter=cfg.map.use_voxel_filter,
+            )
+        if cfg.map.filter_bbox_history:
+            cm_valid = out.tracks.clear_map_valid
+            if bool(jnp.any(cm_valid)):
+                map_state = mapper.remove_boxes(
+                    map_state,
+                    out.tracks.clear_map_boxes,
+                    cm_valid,
+                    margin=cfg.map.filter_margin,
+                )
+
+        # ---- host-side recording ----
+        pose = np.asarray(out.odom.pose)
+        quat = np.asarray(out.odom.rotq)
+        poses.append(pose)
+        quats.append(quat)
+        pose_rec.append(float(seq.stamps[i]), pose, quat)
+        trk = state.tracks
+        obj_trajs.update(
+            trk.filter_id,
+            trk.obj_state,
+            np.asarray(trk.active) & (np.asarray(trk.status) == DYNAMIC),
+            float(seq.stamps[i]),
+        )
+        n_dyn = int(jnp.sum(out.dynamic_mask))
+        dyn_counts.append(n_dyn)
+
+        if evaluate and out_dir:
+            # reference evaluation dump: per-frame dynamic indices + pose
+            # (detection.cpp:936-954)
+            idx = np.nonzero(np.asarray(out.dynamic_mask))[0]
+            np.savetxt(
+                os.path.join(out_dir, f"indices_{i:06d}.txt"),
+                idx, fmt="%d",
+            )
+
+        if checkpoint_every and out_dir and i % checkpoint_every == 0:
+            ckpt.save(
+                os.path.join(out_dir, f"ckpt_{i:06d}.npz"),
+                (state, map_state),
+                meta={"next_scan": i + 1},
+            )
+
+        if progress:
+            print(
+                f"scan {i}/{len(seq) - 1} pose=({pose[0]:+.2f}, "
+                f"{pose[1]:+.2f}, {pose[2]:+.2f}) dyn_px={n_dyn}"
+            )
+
+    if out_dir:
+        pose_rec.save(os.path.join(out_dir, "trajectory_tum.txt"))
+        obj_trajs.save(os.path.join(out_dir, "object_traj"))
+        snap_pts, snap_mask = mapper.snapshot(
+            map_state, cfg.map.leaf_size, map_capacity
+        )
+        pcd_io.save_pcd(
+            os.path.join(out_dir, "map.pcd"),
+            np.asarray(snap_pts), np.asarray(snap_mask),
+        )
+
+    return ReplayResult(
+        poses=np.stack(poses) if poses else np.zeros((0, 3)),
+        quats=np.stack(quats) if quats else np.zeros((0, 4)),
+        stamps=np.asarray(seq.stamps[start:]),
+        num_keyframes=int(jnp.sum(state.odom.store.valid)),
+        map_points=int(mapper.num_points(map_state)),
+        profiler=prof,
+        pose_recorder=pose_rec,
+        object_trajectories=obj_trajs,
+        dynamic_counts=np.asarray(dyn_counts),
+        final_state=state,
+        map_state=map_state,
+    )
+
+
+def ate_rmse(est_positions: np.ndarray, gt_poses: np.ndarray) -> float:
+    """Absolute trajectory error (RMSE) — the evo-style metric the
+    reference's TUM dumps feed (odom.cc:704-709).
+
+    The estimated trajectory lives in the frame of the first scan (the
+    replay seeds ``T0 = I``); ground truth is world-frame. ``est[i]``
+    corresponds to ``gt_poses[i + off]`` with ``off = len(gt) - len(est)``
+    and the reference frame is ``gt_poses[off - 1]`` (the init scan), so
+    estimates are mapped to world through that pose before differencing.
+    """
+    est = np.asarray(est_positions)
+    off = len(gt_poses) - len(est)
+    T0 = gt_poses[max(off - 1, 0)]
+    est_w = est @ T0[:3, :3].T + T0[:3, 3]
+    gt = gt_poses[off:, :3, 3]
+    err = est_w - gt
+    return float(np.sqrt(np.mean(np.sum(err**2, axis=1))))

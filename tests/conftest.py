@@ -1,8 +1,10 @@
-"""Test harness: force an 8-device virtual CPU mesh before importing JAX.
+"""Test harness: force an 8-device virtual CPU mesh before any test runs.
 
 Multi-chip sharding paths are validated on fake CPU devices
 (``xla_force_host_platform_device_count``); the real TPU chip is reserved
-for benches.
+for benches. An environment sitecustomize may pre-register a TPU plugin
+and pin ``jax_platforms`` — override through jax.config, which wins as
+long as no backend has been initialized yet.
 """
 
 import os
@@ -13,3 +15,7 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

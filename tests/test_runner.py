@@ -1,0 +1,117 @@
+"""End-to-end replay driver + CLI tests: the node-graph equivalent
+(odometry + map + trajectories over a synthetic sequence)."""
+
+import dataclasses
+import os
+
+import numpy as np
+
+from dynamic_direct_lidar_odometry_tpu import config as cfg_lib
+from dynamic_direct_lidar_odometry_tpu import runner
+from dynamic_direct_lidar_odometry_tpu.io import dataset, pcd
+
+
+def _small_cfg(H, W):
+    cfg = cfg_lib.doals_config()
+    return dataclasses.replace(
+        cfg,
+        detection=dataclasses.replace(
+            cfg.detection, rows=H, columns=W, ground_rows=4
+        ),
+        # the DOALS preset downsamples every 10th column of a 2048-wide
+        # scan; at test resolution keep all columns and coarsen voxels
+        preprocessing=dataclasses.replace(
+            cfg.preprocessing,
+            downsampling=dataclasses.replace(
+                cfg.preprocessing.downsampling, row=1, col=1
+            ),
+            voxel_scan=dataclasses.replace(
+                cfg.preprocessing.voxel_scan, res=0.4
+            ),
+            voxel_submap=dataclasses.replace(
+                cfg.preprocessing.voxel_submap, res=0.5
+            ),
+        ),
+        capacity=cfg_lib.CapacityConfig(
+            max_points=2048,
+            max_submap_points=8192,
+            max_keyframes=16,
+            max_keyframe_points=2048,
+            max_objects=8,
+            max_tracks=8,
+            nn_chunk=512,
+        ),
+    )
+
+
+def _seq(n=6, H=16, W=128, n_dynamic=1, seed=0):
+    return dataset.synthetic_sequence(
+        n_scans=n, H=H, W=W, n_dynamic=n_dynamic, seed=seed,
+        angle_span=0.3,
+    )
+
+
+def test_replay_end_to_end(tmp_path):
+    seq = _seq()
+    cfg = _small_cfg(seq.H, seq.W)
+    out = os.path.join(tmp_path, "run")
+    res = runner.replay(cfg, seq, out_dir=out, map_capacity=50_000,
+                        evaluate=True)
+    assert len(res.poses) == len(seq) - 1
+    assert np.all(np.isfinite(res.poses))
+    # tracked the slow circular motion: monotone-ish progress, low drift
+    ate = runner.ate_rmse(res.poses, seq.gt_poses)
+    assert ate < 0.5, f"ATE {ate}"
+    assert res.num_keyframes >= 1
+    assert res.map_points > 0
+    # artifacts written
+    assert os.path.exists(os.path.join(out, "trajectory_tum.txt"))
+    assert os.path.exists(os.path.join(out, "map.pcd"))
+    pts, _ = pcd.load_pcd(os.path.join(out, "map.pcd"))
+    assert len(pts) == res.map_points or len(pts) > 0
+    arr = np.loadtxt(os.path.join(out, "trajectory_tum.txt"))
+    assert arr.shape == (len(seq) - 1, 8)
+    # evaluation dumps (reference detection.cpp:936-954 format)
+    assert os.path.exists(os.path.join(out, "indices_000001.txt"))
+    assert res.profiler["total"].n == len(seq) - 1
+
+
+def test_replay_checkpoint_resume(tmp_path):
+    seq = _seq(n=6)
+    cfg = _small_cfg(seq.H, seq.W)
+    out = os.path.join(tmp_path, "a")
+    full = runner.replay(cfg, seq, out_dir=out, checkpoint_every=3,
+                         map_capacity=20_000)
+    ck = os.path.join(out, "ckpt_000003.npz")
+    assert os.path.exists(ck)
+    resumed = runner.replay(cfg, seq, out_dir=None, resume_from=ck,
+                            map_capacity=20_000)
+    # resumed run reproduces the tail poses of the full run
+    np.testing.assert_allclose(
+        resumed.poses, full.poses[-len(resumed.poses):], atol=1e-5
+    )
+
+
+def test_sequence_roundtrip(tmp_path):
+    seq = _seq(n=3)
+    path = os.path.join(tmp_path, "s.npz")
+    seq.save(path)
+    loaded = dataset.ScanSequence.load(path)
+    assert len(loaded) == 3 and loaded.H == seq.H
+    np.testing.assert_array_equal(loaded.mask, seq.mask)
+    assert loaded.gt_poses is not None
+
+
+def test_cli_synth_and_run(tmp_path):
+    from dynamic_direct_lidar_odometry_tpu import cli
+
+    path = os.path.join(tmp_path, "seq.npz")
+    assert cli.main([
+        "synth", "--scans", "4", "--rows", "16", "--cols", "128",
+        "--dynamic", "1", "--out", path,
+    ]) == 0
+    out = os.path.join(tmp_path, "results")
+    assert cli.main([
+        "run", "--dataset", path, "--out", out, "--quiet", "--no-dynamic",
+    ]) == 0
+    assert os.path.exists(os.path.join(out, "trajectory_tum.txt"))

@@ -9,6 +9,7 @@ noted, and safe under ``jit``/``vmap`` (Taylor fallbacks near theta=0).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 _EPS = 1e-12
@@ -155,12 +156,25 @@ def se3_exp(d: jnp.ndarray) -> jnp.ndarray:
 
 
 def transform_points(T: jnp.ndarray, pts: jnp.ndarray) -> jnp.ndarray:
-    """Apply 4x4 transform (..., 4, 4) to points (..., N, 3)."""
-    return pts @ T[..., :3, :3].swapaxes(-1, -2) + T[..., None, :3, 3]
+    """Apply 4x4 transform (..., 4, 4) to points (..., N, 3).
+
+    Computed as explicit muls/adds on the VPU rather than a matmul: TPU
+    f32 matmuls default to bf16 MXU passes, whose ~8-bit mantissa turns a
+    25 m coordinate into ~0.1 m of noise — fatal for registration (the
+    reference carries full f32/f64 throughout, odom.cc/nano_gicp)."""
+    R = T[..., :3, :3]
+    out = (
+        pts[..., 0:1] * R[..., None, :, 0]
+        + pts[..., 1:2] * R[..., None, :, 1]
+        + pts[..., 2:3] * R[..., None, :, 2]
+    )
+    return out + T[..., None, :3, 3]
 
 
 def compose(A: jnp.ndarray, B: jnp.ndarray) -> jnp.ndarray:
-    return A @ B
+    """4x4 pose composition at full f32 (bf16 MXU default would put ~0.4 %
+    noise on translations — centimeters per step, compounding)."""
+    return jnp.matmul(A, B, precision=jax.lax.Precision.HIGHEST)
 
 
 def identity(dtype=jnp.float32) -> jnp.ndarray:

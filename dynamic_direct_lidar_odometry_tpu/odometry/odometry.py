@@ -185,7 +185,7 @@ def step(
         jnp.eye(4),
         _settings(cfg.gicp.s2s),
     )
-    T_s2s = state.T_s2s_prev @ s2s.T  # propagateS2S (odom.cc:921-939)
+    T_s2s = se3.compose(state.T_s2s_prev, s2s.T)  # propagateS2S (odom.cc:921-939)
 
     # ---- submap selection + gather (odom.cc:775-784) ----
     sel = kf.select_submap(

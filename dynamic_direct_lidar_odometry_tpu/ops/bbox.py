@@ -70,49 +70,51 @@ def pca_bboxes(
     p = points.reshape(-1, 3)
     seg = pixel_slot.reshape(-1)
     member = seg >= 0
-    seg = jnp.where(member, seg, S)
-    w = member.astype(p.dtype)
 
-    def ssum(x):
-        return jax.ops.segment_sum(x, seg, num_segments=S + 1)[:S]
+    # slot count is tiny (<=30), so per-slot reductions run DENSE over an
+    # (S, N) membership mask — one MXU matmul for all moment sums and
+    # masked row-reductions for the extents. This replaces ~10 segment_*
+    # scatters (~20 ms) with ~2 ms of fused VPU/MXU work.
+    onehot = seg[None, :] == jnp.arange(S, dtype=seg.dtype)[:, None]  # (S, N)
+    wm = onehot.astype(p.dtype)
+    px, py, pz = p[:, 0], p[:, 1], p[:, 2]
+    feats = jnp.stack(
+        [jnp.ones_like(px), px, py, px * px, py * py, px * py], axis=-1
+    )  # (N, 6)
+    sums = jnp.matmul(wm, feats, precision=jax.lax.Precision.HIGHEST)  # (S, 6)
 
-    cnt = ssum(w)
+    cnt = sums[:, 0]
     safe_cnt = jnp.maximum(cnt, 1.0)
-    x, y, z = p[:, 0] * w, p[:, 1] * w, p[:, 2] * w
-    mx, my = ssum(x) / safe_cnt, ssum(y) / safe_cnt
+    mx, my = sums[:, 1] / safe_cnt, sums[:, 2] / safe_cnt
     # normalized XY covariance (computeCovarianceMatrixNormalized / N)
-    sxx = ssum(p[:, 0] * p[:, 0] * w) / safe_cnt - mx * mx
-    syy = ssum(p[:, 1] * p[:, 1] * w) / safe_cnt - my * my
-    sxy = ssum(p[:, 0] * p[:, 1] * w) / safe_cnt - mx * my
+    sxx = sums[:, 3] / safe_cnt - mx * mx
+    syy = sums[:, 4] / safe_cnt - my * my
+    sxy = sums[:, 5] / safe_cnt - mx * my
 
     _, _, v0, v1 = _eigh2(sxx, sxy, syy)  # (S, 2) each
     E = jnp.stack([v0, v1], axis=-1)  # (S, 2, 2) columns = eigvecs
 
-    # rotate members into each one's slot PCA frame: q = E^T (p_xy - mu)
+    # extents in each slot's PCA frame: q = E^T (p_xy - mu), dense (S, N)
     mu = jnp.stack([mx, my], axis=-1)  # (S, 2)
-    E_px = E[jnp.clip(seg, 0, S - 1)]  # (N, 2, 2)
-    mu_px = mu[jnp.clip(seg, 0, S - 1)]
-    d = p[:, :2] - mu_px
-    q = jnp.einsum("nji,nj->ni", E_px, d)  # E^T d
+    dx = px[None, :] - mx[:, None]
+    dy = py[None, :] - my[:, None]
+    q0 = v0[:, 0:1] * dx + v0[:, 1:2] * dy  # (S, N)
+    q1 = v1[:, 0:1] * dx + v1[:, 1:2] * dy
 
     big = jnp.float32(1e9)
 
     def smin(v):
-        return jax.ops.segment_min(
-            jnp.where(member, v, big), seg, num_segments=S + 1
-        )[:S]
+        return jnp.min(jnp.where(onehot, v, big), axis=1)
 
     def smax(v):
-        return jax.ops.segment_max(
-            jnp.where(member, v, -big), seg, num_segments=S + 1
-        )[:S]
+        return jnp.max(jnp.where(onehot, v, -big), axis=1)
 
-    qx_min, qx_max = smin(q[:, 0]), smax(q[:, 0])
-    qy_min, qy_max = smin(q[:, 1]), smax(q[:, 1])
-    z_min, z_max = smin(p[:, 2]), smax(p[:, 2])
+    qx_min, qx_max = smin(q0), smax(q0)
+    qy_min, qy_max = smin(q1), smax(q1)
+    z_min, z_max = smin(pz[None, :]), smax(pz[None, :])
 
     mean_q = 0.5 * jnp.stack([qx_max + qx_min, qy_max + qy_min], axis=-1)
-    center_xy = jnp.einsum("sij,sj->si", E, mean_q) + mu
+    center_xy = jnp.einsum("sij,sj->si", E, mean_q, precision=jax.lax.Precision.HIGHEST) + mu
     center_z = 0.5 * (z_max + z_min)
     yaw = jnp.arctan2(v0[:, 1], v0[:, 0])  # detection.cpp:770
     dims = jnp.stack([qx_max - qx_min, qy_max - qy_min, z_max - z_min], axis=-1)

@@ -46,8 +46,15 @@ def plane_covariances(
     mean = jnp.mean(neigh, axis=1, keepdims=True)
     centered = neigh - mean
     # cov = X^T X / k, matching the reference's normalization
-    # (nano_gicp_impl.hpp:398-399)
-    cov = jnp.einsum("nki,nkj->nij", centered, centered) / k
+    # (nano_gicp_impl.hpp:398-399). HIGHEST: the default bf16 matmul pass
+    # drowns the small eigenvalue that PLANE regularization keys on.
+    cov = (
+        jnp.einsum(
+            "nki,nkj->nij", centered, centered,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        / k
+    )
 
     cov_reg = regularize_plane(cov)
     eye = jnp.broadcast_to(jnp.eye(3, dtype=points.dtype), cov_reg.shape)
@@ -67,4 +74,7 @@ def regularize_plane(cov: jnp.ndarray) -> jnp.ndarray:
     w, v = jnp.linalg.eigh(cov + 1e-12 * jnp.eye(3, dtype=cov.dtype))
     del w
     values = jnp.array([1e-3, 1.0, 1.0], dtype=cov.dtype)
-    return jnp.einsum("...ij,j,...kj->...ik", v, values, v)
+    return jnp.einsum(
+        "...ij,j,...kj->...ik", v, values, v,
+        precision=jax.lax.Precision.HIGHEST,
+    )

@@ -104,8 +104,14 @@ def _linearize(
     M = (C_B + R C_A R^T)^-1, error y0 = sum e^T M e, and the 6x6/6x1
     Gauss-Newton normal equations H, b with J = [skew(T a) | -I].
     """
+    # NOTE all matmuls/einsums here run at Precision.HIGHEST: TPU f32
+    # matmuls default to bf16 MXU passes whose mantissa noise (~0.4 %
+    # relative) both floors the GICP error (killing convergence, the
+    # reference converges on trans_eps=5e-4, lsq_registration_impl.hpp:135)
+    # and corrupts the cancellation-heavy b vector near the optimum.
+    hp = jax.lax.Precision.HIGHEST
     R = T[:3, :3]
-    src_t = src_pts @ R.T + T[:3, 3]
+    src_t = se3.transform_points(T, src_pts)
     src_t_q = jnp.where(src_mask[:, None], src_t, SENTINEL)
 
     idx, sqd = knn_ops.nn1(src_t_q, tgt_pts)
@@ -113,13 +119,13 @@ def _linearize(
     vf = valid.astype(src_pts.dtype)
 
     cov_B = tgt_covs[idx]
-    RCAR = jnp.einsum("ij,njk,lk->nil", R, src_covs, R)
+    RCAR = jnp.einsum("ij,njk,lk->nil", R, src_covs, R, precision=hp)
     M = inv3x3(cov_B + RCAR)  # (N, 3, 3) mahalanobis weights
 
     B = tgt_pts[idx]
     e = (B - src_t) * vf[:, None]  # (N, 3)
 
-    Me = jnp.einsum("nij,nj->ni", M, e)
+    Me = jnp.einsum("nij,nj->ni", M, e, precision=hp)
     y0 = jnp.sum(e * Me)
 
     # J = [skew(T a) | -I], rows masked by validity
@@ -128,13 +134,13 @@ def _linearize(
         [S, -jnp.broadcast_to(jnp.eye(3, dtype=S.dtype), S.shape)], axis=-1
     )  # (N, 3, 6)
     J = J * vf[:, None, None]
-    MJ = jnp.einsum("nij,njk->nik", M, J)
+    MJ = jnp.einsum("nij,njk->nik", M, J, precision=hp)
 
     N = src_pts.shape[0]
     # one MXU matmul for the full 6x6 reduction (replaces the per-thread
     # OpenMP partials of the reference)
-    H = J.reshape(N * 3, 6).T @ MJ.reshape(N * 3, 6)
-    b = jnp.einsum("nij,ni->j", J, Me)
+    H = jnp.matmul(J.reshape(N * 3, 6).T, MJ.reshape(N * 3, 6), precision=hp)
+    b = jnp.einsum("nij,ni->j", J, Me, precision=hp)
 
     aux = (idx, valid, M, B, sqd)
     return y0, H, b, aux
@@ -145,9 +151,10 @@ def _compute_error(T, src_pts, aux):
     and Mahalanobis weights fixed from the last linearization
     (nano_gicp_impl.hpp:345-371)."""
     idx, valid, M, B, _ = aux
-    src_t = src_pts @ T[:3, :3].T + T[:3, 3]
+    src_t = se3.transform_points(T, src_pts)
     e = (B - src_t) * valid[:, None].astype(src_pts.dtype)
-    return jnp.sum(e * jnp.einsum("nij,nj->ni", M, e))
+    Me = jnp.einsum("nij,nj->ni", M, e, precision=jax.lax.Precision.HIGHEST)
+    return jnp.sum(e * Me)
 
 
 def _is_converged(delta: jnp.ndarray, s: GICPSettings) -> jnp.ndarray:
@@ -224,9 +231,13 @@ def align(
                 H + lam * jnp.eye(6, dtype=H.dtype), -b
             )
             delta = se3.se3_exp(d)
-            xi = delta @ x
+            xi = se3.compose(delta, x)
             yi = _allsum(_compute_error(xi, src_pts, aux))
-            rho = (y0 - yi) / jnp.dot(d, lam * d - b)
+            # dot(d, lam d - b) = d^T (H + lam I) d >= 0; guard the exact-
+            # convergence case d = 0, where 0/0 would NaN-poison lam via
+            # max(1/3, NaN) and corrupt every later iteration.
+            denom = jnp.maximum(jnp.dot(d, lam * d - b), 1e-30)
+            rho = (y0 - yi) / denom
 
             reject = rho < 0
             conv_on_reject = reject & _is_converged(delta, s)
@@ -286,7 +297,7 @@ def align(
             d = jnp.linalg.solve(H + 1e-12 * jnp.eye(6, dtype=H.dtype), -b)
             d = jnp.where(degenerate, 0.0, d)
             delta = se3.se3_exp(d)
-            x_new = delta @ st.x0
+            x_new = se3.compose(delta, st.x0)
             return _LMState(
                 x_new,
                 lam,

@@ -61,8 +61,8 @@ def predict(
     """
     A = transition_matrix(dt)
     Q = process_noise()
-    x_new = x @ A.T
-    P_new = jnp.einsum("ij,tjk,lk->til", A, P, A) + Q
+    x_new = jnp.matmul(x, A.T, precision=jax.lax.Precision.HIGHEST)
+    P_new = jnp.einsum("ij,tjk,lk->til", A, P, A, precision=jax.lax.Precision.HIGHEST) + Q
     return x_new, P_new
 
 
@@ -77,11 +77,14 @@ def update(
     """
     C = measurement_matrix()
     R = measurement_noise()
-    S = jnp.einsum("ij,tjk,lk->til", C, P, C) + R  # (T, 7, 7)
-    PCt = jnp.einsum("tij,kj->tik", P, C)  # (T, 10, 7)
+    S = jnp.einsum("ij,tjk,lk->til", C, P, C, precision=jax.lax.Precision.HIGHEST) + R  # (T, 7, 7)
+    PCt = jnp.einsum("tij,kj->tik", P, C, precision=jax.lax.Precision.HIGHEST)  # (T, 10, 7)
     K = jnp.linalg.solve(S, PCt.swapaxes(-1, -2)).swapaxes(-1, -2)  # (T,10,7)
     innov = y - x[:, :N_MEAS]
-    x_new = x + jnp.einsum("tij,tj->ti", K, innov)
-    KC = jnp.einsum("tij,jk->tik", K, C)
-    P_new = jnp.einsum("tij,tjk->tik", jnp.eye(N_STATE) - KC, P)
+    x_new = x + jnp.einsum("tij,tj->ti", K, innov, precision=jax.lax.Precision.HIGHEST)
+    KC = jnp.einsum("tij,jk->tik", K, C, precision=jax.lax.Precision.HIGHEST)
+    P_new = jnp.einsum(
+        "tij,tjk->tik", jnp.eye(N_STATE) - KC, P,
+        precision=jax.lax.Precision.HIGHEST,
+    )
     return x_new, P_new

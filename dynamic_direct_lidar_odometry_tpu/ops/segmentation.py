@@ -7,10 +7,12 @@ TPU-native redesign of the LeGO-LOAM-style stages in
   shifted-row stencil over the organized cloud — no loops.
 - ``labelComponents`` BFS (:544-724): connected components under the
   angle predicate ``atan2(d2 sin a, d1 - d2 cos a) > theta`` become
-  *iterated min-label propagation with pointer jumping* — each sweep is a
-  handful of shifted-image min ops (VPU-friendly), and the label
-  re-gather (``L = L[L]``) squares the effective propagation distance, so
-  convergence is O(log diameter) sweeps instead of a serial BFS.
+  *iterated segmented min-scans*: each sweep saturates min-label
+  propagation along every maximal connected row run (wrap-aware) and
+  column run via ``lax.associative_scan`` — log-depth shifts on the VPU
+  with zero gathers (gathers of H*W indices are the slow path on TPU; a
+  pointer-jumping variant measured ~10x slower). Convergence needs one
+  sweep per "turn" of a component's shape, 2-4 for real scans.
 - per-segment feasibility gates (:659-699): ``segment_*`` reductions keyed
   by component root.
 
@@ -122,23 +124,46 @@ def label_components(
     e_left = edge(1, 1, sx, cx)  # connect (r, c) <-> (r, c-1), wrapping
     e_right = edge(1, -1, sx, cx)
 
+    del e_down, e_right  # scans use the canonical (up/left) edges only
+
     init = jnp.where(
         eligible, jnp.arange(H * W, dtype=jnp.int32).reshape(H, W), _BIG
     )
 
-    def propagate(L):
-        up = jnp.where(e_up, jnp.roll(L, 1, axis=0), _BIG)
-        down = jnp.where(e_down, jnp.roll(L, -1, axis=0), _BIG)
-        left = jnp.where(e_left, jnp.roll(L, 1, axis=1), _BIG)
-        right = jnp.where(e_right, jnp.roll(L, -1, axis=1), _BIG)
-        nb = jnp.minimum(jnp.minimum(up, down), jnp.minimum(left, right))
-        return jnp.where(eligible, jnp.minimum(L, nb), _BIG)
+    def seg_scan(v, m, axis):
+        """Segmented min-scan: m[i] connects element i to element i-1."""
 
-    def jump(L):
-        flat = L.reshape(-1)
-        safe = jnp.where(flat < _BIG, flat, 0)
-        hop = jnp.where(flat < _BIG, flat[safe], flat)
-        return hop.reshape(H, W)
+        def combine(a, b):
+            va, ma = a
+            vb, mb = b
+            return jnp.where(mb, jnp.minimum(va, vb), vb), ma & mb
+
+        out, _ = jax.lax.associative_scan(combine, (v, m), axis=axis)
+        return out
+
+    def bidir_scan(L, m, axis):
+        """min over each element's maximal connected run, both directions."""
+        fwd = seg_scan(L, m, axis)
+        mr = jnp.flip(jnp.roll(m, -1, axis=axis), axis=axis)
+        if axis == 0:
+            mr = mr.at[0, :].set(False)
+        else:
+            mr = mr.at[:, 0].set(False)
+        bwd = jnp.flip(seg_scan(jnp.flip(L, axis=axis), mr, axis), axis=axis)
+        return jnp.minimum(fwd, bwd)
+
+    def row_sweep(L):
+        # wrap-aware: scan on [L | L] so runs crossing the ring seam
+        # (e_left[:, 0] connects col 0 to col W-1) saturate in one pass
+        L2 = jnp.concatenate([L, L], axis=1)
+        m2 = jnp.concatenate([e_left, e_left], axis=1).at[:, 0].set(False)
+        fwd = seg_scan(L2, m2, 1)[:, W:]
+        mr = jnp.flip(jnp.roll(m2, -1, axis=1), axis=1).at[:, 0].set(False)
+        bwd = jnp.flip(seg_scan(jnp.flip(L2, axis=1), mr, 1), axis=1)[:, :W]
+        return jnp.minimum(fwd, bwd)
+
+    def col_sweep(L):
+        return bidir_scan(L, e_up.at[0, :].set(False), 0)
 
     def cond(state):
         L, prev, it = state
@@ -146,7 +171,7 @@ def label_components(
 
     def body(state):
         L, _, it = state
-        Ln = jump(jump(propagate(L)))
+        Ln = col_sweep(row_sweep(L))
         return Ln, L, it + 1
 
     L, _, _ = jax.lax.while_loop(cond, body, (init, init + 1, jnp.int32(0)))
@@ -198,18 +223,14 @@ def segment_stats(
     ones = member.astype(jnp.float32)
     size = jax.ops.segment_sum(ones, seg, num_segments=n + 1)[:n]
 
-    # distinct-rows count: scan over rows, scatter-max presence per root
+    # distinct-rows count per root: one presence scatter into (root, row)
+    # buckets + a reduction — H x cheaper than a per-row scan
     rows_of = jnp.repeat(jnp.arange(H), W)
-
-    def row_scan(carry, r):
-        present = jnp.zeros((n + 1,), jnp.float32)
-        sel = jnp.where(rows_of == r, seg, n)
-        present = present.at[sel].max(ones)
-        return carry + present[:n], None
-
-    line_count, _ = jax.lax.scan(
-        row_scan, jnp.zeros((n,), jnp.float32), jnp.arange(H)
-    )
+    bucket = seg * H + rows_of  # (n,) in [0, (n+1)*H)
+    present = jnp.zeros(((n + 1) * H,), jnp.bool_).at[bucket].set(True)
+    line_count = jnp.sum(
+        present.reshape(n + 1, H).astype(jnp.float32), axis=1
+    )[:n]
 
     z = points[..., 2].reshape(-1)
     big = jnp.float32(1e9)

@@ -1,0 +1,94 @@
+"""Micro-profile of detection sub-stages at bench scale (64x2048)."""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def timeit(name, fn, *args, n=10, **kw):
+    out = fn(*args, **kw)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(n):
+        out = fn(*args, **kw)
+    jax.block_until_ready(out)
+    ms = (time.perf_counter() - t0) / n * 1e3
+    print(f"{name:35s} {ms:9.2f} ms")
+    return out
+
+
+def main():
+    from dynamic_direct_lidar_odometry_tpu import config as cfg_lib
+    from dynamic_direct_lidar_odometry_tpu.io import synthetic
+    from dynamic_direct_lidar_odometry_tpu.ops import bbox as bbox_ops
+    from dynamic_direct_lidar_odometry_tpu.ops import projection, segmentation
+
+    cfg = cfg_lib.doals_config()
+    det = cfg.detection
+    H, W = det.rows, det.columns
+
+    world = synthetic.World.town(seed=3, n_static=10)
+    pts, mask = synthetic.render_scan(
+        world, np.eye(4), H=H, W=W, t=0.0, rng=np.random.default_rng(0)
+    )
+    pts = jnp.asarray(pts)
+    mask = jnp.asarray(mask)
+    T = jnp.eye(4)
+
+    ri = timeit(
+        "project_organized", projection.project_organized,
+        pts, mask, T[:3, 3], H, W, det.minimum_range,
+    )
+    res = jnp.abs(jax.random.normal(jax.random.PRNGKey(0), (16384,))) * 0.1
+    rpts = pts[: 16384]
+    rmask = mask[: 16384]
+    timeit(
+        "project_residuals", projection.project_residuals,
+        rpts, res, rmask, H, W, ang_bottom=det.ang_bottom, grid="lidar",
+    )
+
+    g = timeit(
+        "ground_removal", segmentation.ground_removal,
+        ri.points, ri.valid, ri.ranges, det.ground_rows,
+        det.sensor_mount_angle, det.ground_angle_threshold,
+    )
+
+    ang_res_x = 360.0 / W
+    ang_res_y = 2.0 * det.ang_bottom / (H - 1)
+    seg = timeit(
+        "label_components", segmentation.label_components,
+        ri.ranges, g.eligible, det.theta, ang_res_x, ang_res_y, n=5,
+    )
+
+    res_img = jnp.zeros((H, W))
+    stats = timeit(
+        "segment_stats", segmentation.segment_stats,
+        seg.labels, ri.ranges, ri.points, res_img, T[2, 3],
+        det.min_line_num, det.valid_point_num, det.valid_line_num,
+        det.max_distance, det.min_delta_z, det.max_delta_z,
+        det.max_elevation, n=5,
+    )
+
+    roots, slot_valid, pixel_slot = timeit(
+        "compact_segments", segmentation.compact_segments,
+        seg.labels, stats, cfg.capacity.max_objects,
+    )
+    avg = jnp.zeros((cfg.capacity.max_objects,))
+    timeit(
+        "pca_bboxes", bbox_ops.pca_bboxes,
+        ri.points, pixel_slot, slot_valid, avg,
+        cfg.capacity.max_objects, det.max_dim_ratio, n=5,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,178 @@
+"""Per-stage device timing of the DDLO pipeline at bench scale.
+
+Times each jitted stage in isolation (same shapes as bench.py) so perf
+work targets the true hot spots. Mirrors the reference's AccumulatorData
+stage taxonomy (SURVEY.md §5). Run on the real chip:
+
+    python tools/profile_stages.py
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def timeit(name, fn, *args, n=10, **kw):
+    out = fn(*args, **kw)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(n):
+        out = fn(*args, **kw)
+    jax.block_until_ready(out)
+    ms = (time.perf_counter() - t0) / n * 1e3
+    print(f"{name:35s} {ms:9.2f} ms")
+    return out
+
+
+def main():
+    from dynamic_direct_lidar_odometry_tpu import config as cfg_lib
+    from dynamic_direct_lidar_odometry_tpu import pipeline
+    from dynamic_direct_lidar_odometry_tpu.detection import detection
+    from dynamic_direct_lidar_odometry_tpu.io import synthetic
+    from dynamic_direct_lidar_odometry_tpu.odometry import (
+        keyframes as kfmod,
+        odometry,
+        preprocess as prep,
+    )
+    from dynamic_direct_lidar_odometry_tpu.ops import covariance, filters, gicp
+    from dynamic_direct_lidar_odometry_tpu.tracking import tracker
+
+    cfg = cfg_lib.doals_config()
+    cfg = dataclasses.replace(
+        cfg,
+        capacity=dataclasses.replace(
+            cfg.capacity,
+            max_points=16384,
+            max_submap_points=65536,
+            max_keyframes=64,
+            max_keyframe_points=8192,
+            nn_chunk=2048,
+        ),
+    )
+    H, W = cfg.detection.rows, cfg.detection.columns
+    print(f"devices: {jax.devices()}  scan {H}x{W}")
+
+    world = synthetic.World.town(seed=3, n_static=10)
+    T = np.eye(4)
+    pts, mask = synthetic.render_scan(
+        world, T, H=H, W=W, t=0.0, rng=np.random.default_rng(0)
+    )
+    pts = jnp.asarray(pts)
+    mask = jnp.asarray(mask)
+
+    state = pipeline.init_state(cfg, pts, mask, 0.0)
+    jax.block_until_ready(state)
+
+    # full pipeline step
+    st2, out = timeit(
+        "pipeline.step (full)", pipeline.step, cfg, state, pts, mask,
+        jnp.float32(0.1), n=5,
+    )
+
+    # odometry step alone
+    timeit("odometry.step", odometry.step, cfg, state.odom, pts, mask, n=5)
+
+    # stages inside odometry.step
+    p = prep.preprocess(cfg, pts, mask)
+    jax.block_until_ready(p)
+    timeit("preprocess", prep.preprocess, cfg, pts, mask)
+
+    k = cfg.gicp.s2s.k_correspondences
+    covs = timeit(
+        "plane_covariances (scan, k=%d)" % k,
+        covariance.plane_covariances, p.points, p.mask, k=k, n=5,
+    )
+
+    def s2s_settings():
+        return gicp.GICPSettings(
+            max_correspondence_distance=cfg.gicp.s2s.max_correspondence_distance,
+            max_iterations=cfg.gicp.s2s.max_iterations,
+            lm_max_iterations=cfg.gicp.s2s.lm_max_iterations,
+        )
+
+    s2s = timeit(
+        "gicp.align S2S (16k vs 16k)",
+        gicp.align, p.points, p.mask, covs,
+        state.odom.prev_points, state.odom.prev_mask, state.odom.prev_covs,
+        jnp.eye(4), s2s_settings(), n=5,
+    )
+    print(f"  s2s iterations: {int(s2s.iterations)}")
+
+    sel = kfmod.select_submap(
+        state.odom.store, state.odom.T[:3, 3],
+        state.odom.keyframe_thresh_dist,
+        cfg.submap.knn, cfg.submap.kcv, cfg.submap.kcc,
+    )
+    max_slots = min(
+        cfg.submap.knn + cfg.submap.kcv + cfg.submap.kcc,
+        cfg.capacity.max_keyframes,
+    )
+    timeit(
+        "select_submap", kfmod.select_submap,
+        state.odom.store, state.odom.T[:3, 3],
+        state.odom.keyframe_thresh_dist,
+        cfg.submap.knn, cfg.submap.kcv, cfg.submap.kcc,
+    )
+    sub_pts, sub_mask, sub_covs = kfmod.gather_submap(
+        state.odom.store, sel, max_slots
+    )
+    jax.block_until_ready(sub_pts)
+
+    def s2m_settings():
+        return gicp.GICPSettings(
+            max_correspondence_distance=cfg.gicp.s2m.max_correspondence_distance,
+            max_iterations=cfg.gicp.s2m.max_iterations,
+            lm_max_iterations=cfg.gicp.s2m.lm_max_iterations,
+        )
+
+    s2m = timeit(
+        "gicp.align S2M (16k vs 64k-cap)",
+        gicp.align, p.points, p.mask, covs, sub_pts, sub_mask, sub_covs,
+        jnp.eye(4), s2m_settings(), n=5,
+    )
+    print(f"  s2m iterations: {int(s2m.iterations)}")
+
+    # single linearization cost (1 NN sweep + H/b)
+    from dynamic_direct_lidar_odometry_tpu.ops import knn as knn_ops
+
+    timeit("nn1 16k x 16k", knn_ops.nn1, p.points, state.odom.prev_points, n=10)
+    timeit("nn1 16k x 64k", knn_ops.nn1, p.points, sub_pts, n=10)
+    timeit(
+        "knn k=%d 16k x 16k" % k, knn_ops.knn, p.points, p.points, k, n=5
+    )
+
+    # detection + tracking
+    seg_world = jnp.where(mask[:, None], pts, 1.0e6)
+    det = timeit(
+        "detection.detect", detection.detect, cfg, seg_world, mask,
+        p.points, p.mask, s2m.residuals, state.odom.T, n=5,
+    )
+    timeit(
+        "tracker.update", tracker.update, cfg.tracking, state.tracks,
+        det.objects, jnp.float32(0.1), n=10,
+    )
+
+    # keyframe update (incl covariance under cond)
+    timeit(
+        "update_keyframes", odometry.update_keyframes, cfg, st2.odom,
+        out.new_keyframe_points, out.new_keyframe_mask, n=5,
+    )
+
+    timeit(
+        "voxel_downsample 128k->16k", filters.voxel_downsample,
+        seg_world, mask, cfg.preprocessing.voxel_scan.res,
+        cfg.capacity.max_points, n=5,
+    )
+
+
+if __name__ == "__main__":
+    main()

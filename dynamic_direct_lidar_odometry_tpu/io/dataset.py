@@ -32,6 +32,9 @@ class ScanSequence:
     H: int
     W: int
     gt_poses: Optional[np.ndarray] = None  # (S, 4, 4) if known
+    # buffered startup IMU linear accelerations for gravity alignment
+    # (odom.cc:534-597 buffers 1000 messages before the first scan)
+    imu_accel: Optional[np.ndarray] = None  # (N, 3)
 
     def __len__(self) -> int:
         return len(self.points)
@@ -47,6 +50,8 @@ class ScanSequence:
         )
         if self.gt_poses is not None:
             data["gt_poses"] = self.gt_poses
+        if self.imu_accel is not None:
+            data["imu_accel"] = self.imu_accel
         np.savez_compressed(path, **data)
 
     @staticmethod
@@ -56,6 +61,7 @@ class ScanSequence:
             points=d["points"], mask=d["mask"], stamps=d["stamps"],
             H=int(d["H"]), W=int(d["W"]),
             gt_poses=d["gt_poses"] if "gt_poses" in d else None,
+            imu_accel=d["imu_accel"] if "imu_accel" in d else None,
         )
 
 

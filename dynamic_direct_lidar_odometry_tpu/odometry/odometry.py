@@ -254,6 +254,58 @@ def step(
     return new_state, outputs
 
 
+def gravity_align(
+    accel_samples: "np.ndarray",
+    imu_lidar_quat: Tuple[float, float, float, float] | None = None,
+) -> "np.ndarray":
+    """Initial gravity-aligned pose from buffered IMU accelerations
+    (OdomNode::gravityAlign, odom.cc:534-597).
+
+    The reference blocks until 1000 IMU messages, averages the linear
+    accelerations, normalizes, and seeds the pose rotation with
+    ``FromTwoVectors(mean_accel, +z) * imu_lidar_tf``. Host-side NumPy:
+    this runs once at startup, outside the jitted scan loop.
+
+    Args:
+      accel_samples: (N, 3) linear accelerations (sensor at rest).
+      imu_lidar_quat: optional [w, x, y, z] IMU->LiDAR extrinsic rotation
+        (the fork hardcodes a -90 deg z rotation, odom.cc:575-580;
+        default identity).
+
+    Returns:
+      (4, 4) float32 T0 with the gravity-aligned rotation, zero trans.
+    """
+    import numpy as np
+
+    a = np.asarray(accel_samples, dtype=np.float64).mean(axis=0)
+    n = np.linalg.norm(a)
+    if n < 1e-9:
+        return np.eye(4, dtype=np.float32)
+    a = a / n
+    g = np.array([0.0, 0.0, 1.0])
+    # Eigen::Quaternion::FromTwoVectors(a, g)
+    w = 1.0 + float(a @ g)
+    if w < 1e-9:  # antiparallel: rotate pi about any orthogonal axis
+        axis = np.cross(a, np.array([1.0, 0.0, 0.0]))
+        if np.linalg.norm(axis) < 1e-9:
+            axis = np.cross(a, np.array([0.0, 1.0, 0.0]))
+        q = np.concatenate([[0.0], axis / np.linalg.norm(axis)])
+    else:
+        xyz = np.cross(a, g)
+        q = np.concatenate([[w], xyz])
+        q = q / np.linalg.norm(q)
+    if imu_lidar_quat is not None:
+        qe = np.asarray(imu_lidar_quat, dtype=np.float64)
+        q = np.asarray(
+            se3.quat_mul(jnp.asarray(q), jnp.asarray(qe)), dtype=np.float64
+        )
+        q = q / np.linalg.norm(q)
+    R = np.asarray(se3.quat_to_matrix(jnp.asarray(q)))
+    T0 = np.eye(4, dtype=np.float32)
+    T0[:3, :3] = R
+    return T0
+
+
 def keyframe_decision(
     cfg: DDLOConfig, state: OdomState, pose: jnp.ndarray, rotq: jnp.ndarray
 ) -> jnp.ndarray:

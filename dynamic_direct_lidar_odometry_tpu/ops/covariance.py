@@ -41,7 +41,7 @@ def plane_covariances(
       (N, 3, 3) covariances; invalid points get identity (they are masked
       out of every downstream reduction anyway).
     """
-    idx, _ = knn_ops.knn(points, points, k)
+    idx, _ = knn_ops.knn_best(points, points, k)
     neigh = points[idx]  # (N, k, 3)
     mean = jnp.mean(neigh, axis=1, keepdims=True)
     centered = neigh - mean
@@ -61,20 +61,63 @@ def plane_covariances(
     return jnp.where(mask[:, None, None], cov_reg, eye)
 
 
+def smallest_eigvec_sym3(A: jnp.ndarray) -> jnp.ndarray:
+    """Unit eigenvector of the smallest eigenvalue of symmetric (..., 3, 3).
+
+    Closed form (Cardano eigenvalue + largest cross product of rows of
+    ``A - lmin I``) — pure elementwise VPU math, no batched eigh solver.
+    Near-isotropic matrices (every direction equally good) fall back to
+    e_z, mirroring the arbitrary basis an eigensolver would return.
+    """
+    a00, a01, a02 = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
+    a11, a12, a22 = A[..., 1, 1], A[..., 1, 2], A[..., 2, 2]
+    q = (a00 + a11 + a22) / 3.0
+    b00, b11, b22 = a00 - q, a11 - q, a22 - q
+    p2 = (
+        b00 * b00 + b11 * b11 + b22 * b22
+        + 2.0 * (a01 * a01 + a02 * a02 + a12 * a12)
+    ) / 6.0
+    p = jnp.sqrt(jnp.maximum(p2, 1e-30))
+    # det(B)/p^3 with B = A - q I
+    detB = (
+        b00 * (b11 * b22 - a12 * a12)
+        - a01 * (a01 * b22 - a12 * a02)
+        + a02 * (a01 * a12 - b11 * a02)
+    )
+    r = jnp.clip(detB / (2.0 * p * p * p), -1.0, 1.0)
+    phi = jnp.arccos(r) / 3.0
+    lmin = q + 2.0 * p * jnp.cos(phi + 2.0 * jnp.pi / 3.0)
+
+    c00, c11, c22 = a00 - lmin, a11 - lmin, a22 - lmin
+    r0 = jnp.stack([c00, a01, a02], axis=-1)
+    r1 = jnp.stack([a01, c11, a12], axis=-1)
+    r2 = jnp.stack([a02, a12, c22], axis=-1)
+    c01 = jnp.cross(r0, r1)
+    c02 = jnp.cross(r0, r2)
+    c12 = jnp.cross(r1, r2)
+    n01 = jnp.sum(c01 * c01, axis=-1)
+    n02 = jnp.sum(c02 * c02, axis=-1)
+    n12 = jnp.sum(c12 * c12, axis=-1)
+    best = jnp.where(
+        (n01 >= n02)[..., None] & (n01 >= n12)[..., None],
+        c01,
+        jnp.where((n02 >= n12)[..., None], c02, c12),
+    )
+    nrm = jnp.linalg.norm(best, axis=-1, keepdims=True)
+    ez = jnp.zeros_like(best).at[..., 2].set(1.0)
+    return jnp.where(nrm > 1e-12, best / jnp.maximum(nrm, 1e-30), ez)
+
+
 @jax.jit
 def regularize_plane(cov: jnp.ndarray) -> jnp.ndarray:
     """Spectrum-replace each (..., 3, 3) covariance with (1, 1, 1e-3).
 
-    RegularizationMethod::PLANE (nano_gicp_impl.hpp:423-425,435-436):
-    C_reg = U diag(1, 1, 1e-3) U^T with U the eigenvectors of C.
-    ``eigh`` returns ascending eigenvalues, so the replacement spectrum is
-    (1e-3, 1, 1) in eigh order.
+    RegularizationMethod::PLANE (nano_gicp_impl.hpp:423-425,435-436) is
+    C_reg = U diag(1, 1, 1e-3) U^T — algebraically ``I - (1 - 1e-3) n n^T``
+    with n the unit eigenvector of the SMALLEST eigenvalue (the surface
+    normal), since the two in-plane directions get weight 1. Only n is
+    needed, so the batched eigh solver is replaced by the closed form.
     """
-    # eigh on symmetric PSD is the SVD; jitter for degenerate neighborhoods
-    w, v = jnp.linalg.eigh(cov + 1e-12 * jnp.eye(3, dtype=cov.dtype))
-    del w
-    values = jnp.array([1e-3, 1.0, 1.0], dtype=cov.dtype)
-    return jnp.einsum(
-        "...ij,j,...kj->...ik", v, values, v,
-        precision=jax.lax.Precision.HIGHEST,
-    )
+    n = smallest_eigvec_sym3(cov)
+    eye = jnp.eye(3, dtype=cov.dtype)
+    return eye - (1.0 - 1e-3) * n[..., :, None] * n[..., None, :]

@@ -114,7 +114,7 @@ def _linearize(
     src_t = se3.transform_points(T, src_pts)
     src_t_q = jnp.where(src_mask[:, None], src_t, SENTINEL)
 
-    idx, sqd = knn_ops.nn1(src_t_q, tgt_pts)
+    idx, sqd = knn_ops.nn1_best(src_t_q, tgt_pts)
     valid = src_mask & tgt_mask[idx] & (sqd < max_corr_dist * max_corr_dist)
     vf = valid.astype(src_pts.dtype)
 

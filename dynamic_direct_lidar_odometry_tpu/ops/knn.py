@@ -36,6 +36,30 @@ import jax.numpy as jnp
 _BIG = jnp.float32(3.0e12)  # > (2 * SENTINEL)^2 is not needed; per-chunk guard
 
 
+def nn1_best(query: jnp.ndarray, target: jnp.ndarray):
+    """1-NN via the Pallas kernel on TPU, the XLA sweep elsewhere.
+
+    The dispatch is a trace-time backend check, so CPU test meshes
+    (JAX_PLATFORMS=cpu) and the TPU path share every caller."""
+    if jax.default_backend() == "tpu":
+        from dynamic_direct_lidar_odometry_tpu.ops import nn_pallas
+
+        return nn_pallas.nn1_pallas(query, target)
+    return nn1(query, target)
+
+
+def knn_best(query: jnp.ndarray, target: jnp.ndarray, k: int):
+    """k-NN for covariance neighborhoods: lane-class-approximate Pallas
+    kernel on TPU (see :func:`nn_pallas.knn_approx_pallas` for the error
+    model — benign for PLANE-regularized covariances), exact XLA sweep
+    elsewhere (including the CPU test meshes)."""
+    if jax.default_backend() == "tpu" and k <= 128:
+        from dynamic_direct_lidar_odometry_tpu.ops import nn_pallas
+
+        return nn_pallas.knn_approx_pallas(query, target, k)
+    return knn(query, target, k)
+
+
 def _pad_to_multiple(x: jnp.ndarray, m: int, fill) -> jnp.ndarray:
     n = x.shape[0]
     pad = (-n) % m
@@ -112,8 +136,8 @@ def knn(
     query: jnp.ndarray,
     target: jnp.ndarray,
     k: int,
-    query_chunk: int = 512,
-    target_chunk: int = 4096,
+    query_chunk: int = 1024,
+    target_chunk: int = 8192,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Brute-force k-NN with a running top-k merge over target chunks.
 

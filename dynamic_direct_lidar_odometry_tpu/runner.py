@@ -71,7 +71,14 @@ def replay(
 
     pts0 = jnp.asarray(seq.points[0])
     msk0 = jnp.asarray(seq.mask[0])
-    state = pipeline.init_state(cfg, pts0, msk0, float(seq.stamps[0]))
+    # gravity alignment (initializeDDLO -> gravityAlign, odom.cc:599-612):
+    # seed the pose rotation from buffered IMU accelerations when enabled
+    T0 = None
+    if cfg.gravity_align and seq.imu_accel is not None:
+        from dynamic_direct_lidar_odometry_tpu.odometry import odometry
+
+        T0 = jnp.asarray(odometry.gravity_align(seq.imu_accel))
+    state = pipeline.init_state(cfg, pts0, msk0, float(seq.stamps[0]), T0=T0)
     map_state = mapper.empty_map(map_capacity)
     # the first keyframe (created by init, odom.cc:480-516) reaches the
     # map node like every other keyframe (map.cc:101-131)

@@ -1,0 +1,85 @@
+"""Pallas NN kernels vs the exact XLA sweep (interpret mode on CPU).
+
+The TPU kernels (ops/nn_pallas.py) replace the GICP correspondence and
+covariance-neighborhood searches; on the CPU test mesh they run in the
+Pallas interpreter, so these tests check kernel *semantics* — the real
+chip path shares every line of kernel code.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dynamic_direct_lidar_odometry_tpu.ops import knn as knn_ops
+from dynamic_direct_lidar_odometry_tpu.ops import nn_pallas
+
+
+@pytest.fixture(autouse=True)
+def _interpret_mode(monkeypatch):
+    from jax.experimental.pallas import tpu as pltpu
+
+    with pltpu.force_tpu_interpret_mode():
+        yield
+
+
+def _clouds(Q=700, T=900, seed=0, sentinel_every=0):
+    rng = np.random.default_rng(seed)
+    q = rng.uniform(-20, 20, (Q, 3)).astype(np.float32)
+    t = rng.uniform(-20, 20, (T, 3)).astype(np.float32)
+    if sentinel_every:
+        q[::sentinel_every] = 1.0e6
+        t[:: sentinel_every + 1] = 1.0e6
+    return jnp.asarray(q), jnp.asarray(t)
+
+
+def test_nn1_pallas_matches_exact():
+    q, t = _clouds()
+    i0, d0 = knn_ops.nn1(q, t)
+    i1, d1 = nn_pallas.nn1_pallas(q, t, q_tile=128, t_chunk=128)
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+    np.testing.assert_allclose(np.asarray(d0), np.asarray(d1), atol=1e-4)
+
+
+def test_nn1_pallas_with_sentinels():
+    q, t = _clouds(sentinel_every=13)
+    i0, _ = knn_ops.nn1(q, t)
+    i1, _ = nn_pallas.nn1_pallas(q, t, q_tile=128, t_chunk=128)
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+
+
+def test_nn1_pallas_nonmultiple_sizes():
+    # shapes not divisible by the tile/chunk exercise the padding path
+    q, t = _clouds(Q=301, T=517)
+    i0, _ = knn_ops.nn1(q, t)
+    i1, _ = nn_pallas.nn1_pallas(q, t, q_tile=128, t_chunk=256)
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+
+
+def test_knn_approx_includes_self_and_overlaps_exact():
+    q, _ = _clouds(Q=512)
+    k = 10
+    ie, de = knn_ops.knn(q, q, k)
+    ia, da = nn_pallas.knn_approx_pallas(q, q, k, q_tile=128, t_chunk=128)
+    ia_np, ie_np = np.asarray(ia), np.asarray(ie)
+    # each point is its own 0-distance neighbor (kd-tree semantics)
+    assert np.all(ia_np[:, 0] == np.arange(512))
+    # distances ascending
+    da_np = np.asarray(da)
+    assert np.all(np.diff(da_np, axis=1) >= -1e-5)
+    # lane-class approximation: the neighbor-set overlap with exact k-NN
+    # must be high (collisions replace a rare neighbor with the (k+1)-th)
+    overlap = np.mean(
+        [len(set(ia_np[r]) & set(ie_np[r])) / k for r in range(0, 512, 7)]
+    )
+    assert overlap > 0.9
+
+
+def test_knn_approx_distances_not_worse_than_kplus_exact():
+    # every approx distance is <= the exact (2k)-th neighbor distance:
+    # the class-minima pool loses at most collided duplicates
+    q, _ = _clouds(Q=384, seed=3)
+    k = 8
+    _, de = knn_ops.knn(q, q, 2 * k)
+    _, da = nn_pallas.knn_approx_pallas(q, q, k, q_tile=128, t_chunk=128)
+    assert np.all(np.asarray(da) <= np.asarray(de[:, -1])[:, None] + 1e-4)

@@ -65,6 +65,8 @@ def _cmd_run(args: argparse.Namespace) -> int:
         resume_from=args.resume,
         evaluate=args.evaluate,
         progress=not args.quiet,
+        dashboard_every=args.dashboard_every,
+        viz_every=args.viz_every,
     )
     print(res.profiler.dashboard())
     print(
@@ -116,6 +118,12 @@ def main(argv=None) -> int:
     run.add_argument("--checkpoint-every", type=int, default=0)
     run.add_argument("--resume", default=None)
     run.add_argument("--quiet", action="store_true")
+    run.add_argument("--dashboard-every", type=int, default=0,
+                     help="print the debug dashboard every N scans "
+                          "(odom.cc:1317-1461)")
+    run.add_argument("--viz-every", type=int, default=0,
+                     help="write range/residual/label debug images every "
+                          "N scans (detection.cpp:834-909)")
     run.set_defaults(fn=_cmd_run)
 
     synth = sub.add_parser("synth", help="generate a synthetic sequence")

@@ -27,6 +27,9 @@ class DetectionResult(NamedTuple):
     range_image: jnp.ndarray  # (H, W)
     residual_image: jnp.ndarray  # (H, W)
     labels: jnp.ndarray  # (H, W) raw component roots (visualization)
+    # source-point index per pixel: identity for organized clouds, the
+    # scatter winner for spherical projection (-1 = no point)
+    point_index: jnp.ndarray  # (H, W) int32
 
 
 def _window_mask(cfg: DDLOConfig) -> jnp.ndarray | None:
@@ -53,13 +56,25 @@ def detect(
     reg_mask: jnp.ndarray,  # (N,)
     residuals: jnp.ndarray,  # (N,) S2M NN residuals
     T: jnp.ndarray,  # (4, 4) current pose
+    seg_points_sensor: jnp.ndarray | None = None,  # for spherical mode
 ) -> DetectionResult:
     det = cfg.detection
     H, W = det.rows, det.columns
 
-    ri = projection.project_organized(
-        seg_points_world, seg_mask, T[:3, 3], H, W, det.minimum_range
-    )
+    if det.organized:
+        # fork path: pixel (r, c) <-> point r*W + c (detection.cpp:300-329)
+        ri = projection.project_organized(
+            seg_points_world, seg_mask, T[:3, 3], H, W, det.minimum_range
+        )
+    else:
+        # upstream LiDAR path: rows from elevation, cols from azimuth
+        # (detection.cpp:330-367); needs the sensor-frame cloud for angles
+        if seg_points_sensor is None:
+            raise ValueError("spherical mode needs seg_points_sensor")
+        ri = projection.project_spherical(
+            seg_points_world, seg_mask, seg_points_sensor, T[:3, 3],
+            H, W, det.ang_bottom, det.minimum_range,
+        )
     res_img = projection.project_residuals(
         reg_points_sensor,
         residuals,
@@ -134,6 +149,7 @@ def detect(
         range_image=ri.ranges,
         residual_image=res_img,
         labels=seg_res.labels,
+        point_index=ri.point_index,
     )
 
 

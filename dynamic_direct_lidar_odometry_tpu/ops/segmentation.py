@@ -221,7 +221,6 @@ def segment_stats(
     seg = jnp.where(member, lab, n)
 
     ones = member.astype(jnp.float32)
-    size = jax.ops.segment_sum(ones, seg, num_segments=n + 1)[:n]
 
     # distinct-rows count per root: one presence scatter into (root, row)
     # buckets + a reduction — H x cheaper than a per-row scan
@@ -232,23 +231,26 @@ def segment_stats(
         present.reshape(n + 1, H).astype(jnp.float32), axis=1
     )[:n]
 
+    # all sum- and min-style per-root stats ride TWO multi-column scatters
+    # (segment ops reduce 2D data column-wise) instead of five scalar ones
     z = points[..., 2].reshape(-1)
-    big = jnp.float32(1e9)
-    min_z = jax.ops.segment_min(jnp.where(member, z, big), seg, num_segments=n + 1)[:n]
-    max_z = jax.ops.segment_max(jnp.where(member, z, -big), seg, num_segments=n + 1)[:n]
     r = ranges.reshape(-1)
-    max_dist = jax.ops.segment_max(
-        jnp.where(member, r, -big), seg, num_segments=n + 1
-    )[:n]
-
     res = residual_img.reshape(-1)
     res_pos = member & (res > 0)
-    res_sum = jax.ops.segment_sum(
-        jnp.where(res_pos, res, 0.0), seg, num_segments=n + 1
-    )[:n]
-    res_cnt = jax.ops.segment_sum(
-        res_pos.astype(jnp.float32), seg, num_segments=n + 1
-    )[:n]
+    big = jnp.float32(1e9)
+
+    sum_data = jnp.stack(
+        [ones, jnp.where(res_pos, res, 0.0), res_pos.astype(jnp.float32)],
+        axis=-1,
+    )
+    sums = jax.ops.segment_sum(sum_data, seg, num_segments=n + 1)[:n]
+    size, res_sum, res_cnt = sums[:, 0], sums[:, 1], sums[:, 2]
+
+    min_data = jnp.stack([z, -z, -r], axis=-1)
+    min_data = jnp.where(member[:, None], min_data, big)
+    mins = jax.ops.segment_min(min_data, seg, num_segments=n + 1)[:n]
+    min_z, max_z, max_dist = mins[:, 0], -mins[:, 1], -mins[:, 2]
+
     avg_res = jnp.where(res_cnt > 0, res_sum / jnp.maximum(res_cnt, 1.0), 0.0)
 
     feasible = (size >= 50) & (line_count >= min_line_num)

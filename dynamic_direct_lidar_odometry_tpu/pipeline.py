@@ -116,6 +116,7 @@ def step(
             odo_state.prev_mask,
             odo.residuals,
             odo.T,
+            seg_points_sensor=raw_points,
         )
 
         dt = jnp.maximum(timestamp - state.prev_stamp, 1e-3)
@@ -130,12 +131,22 @@ def step(
         dynamic_slots = tracker.status_detection_mask(
             trk_state, (DYNAMIC,), cfg.capacity.max_objects
         )
-        ps = det.pixel_slot.reshape(-1)
+        # map per-pixel slots back to source points: identity for the
+        # organized layout, through the projection's point_index otherwise
+        ps_img = det.pixel_slot.reshape(-1)
+        pidx = det.point_index.reshape(-1)
+        n_pts = raw_mask.shape[0]
+        ps = jnp.full((n_pts,), -1, jnp.int32)
+        ps = ps.at[jnp.where(pidx >= 0, pidx, n_pts)].set(ps_img, mode="drop")
+        g_img = (det.ground == 1).reshape(-1)
+        ground = jnp.zeros((n_pts,), bool)
+        ground = ground.at[jnp.where(pidx >= 0, pidx, n_pts)].set(
+            g_img, mode="drop"
+        )
         in_obj = ps >= 0
         psc = jnp.clip(ps, 0, cfg.capacity.max_objects - 1)
         non_static = in_obj & non_static_slots[psc]
         dynamic = in_obj & dynamic_slots[psc]
-        ground = (det.ground == 1).reshape(-1)
 
         static_mask = raw_mask & ~non_static
         static_pts = jnp.where(static_mask[:, None], seg_world, SENTINEL)
@@ -200,4 +211,5 @@ def _empty_detection(cfg: DDLOConfig) -> detection.DetectionResult:
         range_image=jnp.zeros((H, W)),
         residual_image=jnp.zeros((H, W)),
         labels=jnp.full((H, W), -1, jnp.int32),
+        point_index=jnp.arange(H * W, dtype=jnp.int32).reshape(H, W),
     )

@@ -43,6 +43,7 @@ class ReplayResult:
     stamps: np.ndarray  # (S,)
     num_keyframes: int
     map_points: int
+    dropped_scans: int
     profiler: profiling.Profiler
     pose_recorder: trajectory.PoseRecorder
     object_trajectories: trajectory.ObjectTrajectories
@@ -60,6 +61,8 @@ def replay(
     resume_from: Optional[str] = None,
     evaluate: bool = False,
     progress: bool = False,
+    dashboard_every: int = 0,
+    viz_every: int = 0,
 ) -> ReplayResult:
     """Run the full DDLO node graph over a scan sequence."""
     if out_dir:
@@ -97,8 +100,13 @@ def replay(
         )
         start = int(meta.get("next_scan", 1))
 
-    poses, quats, dyn_counts = [], [], []
+    poses, quats, dyn_counts, stamps_kept = [], [], [], []
+    dropped = 0
     for i in range(start, len(seq)):
+        # low-return scan drop (odom.cc:635-639: "Low number of points!")
+        if int(seq.mask[i].sum()) < cfg.gicp.min_num_points:
+            dropped += 1
+            continue
         pts = jnp.asarray(seq.points[i])
         msk = jnp.asarray(seq.mask[i])
         ts = jnp.float32(seq.stamps[i])
@@ -131,6 +139,7 @@ def replay(
         quat = np.asarray(out.odom.rotq)
         poses.append(pose)
         quats.append(quat)
+        stamps_kept.append(float(seq.stamps[i]))
         pose_rec.append(float(seq.stamps[i]), pose, quat)
         trk = state.tracks
         obj_trajs.update(
@@ -141,6 +150,18 @@ def replay(
         )
         n_dyn = int(jnp.sum(out.dynamic_mask))
         dyn_counts.append(n_dyn)
+
+        if viz_every and out_dir and i % viz_every == 0:
+            # DetectionModule::visualize (detection.cpp:834-909) as PNGs
+            from dynamic_direct_lidar_odometry_tpu.utils import viz
+
+            viz.save_debug_images(
+                os.path.join(out_dir, "images"),
+                i,
+                np.asarray(out.detections.range_image),
+                np.asarray(out.detections.residual_image),
+                np.asarray(out.detections.labels),
+            )
 
         if evaluate and out_dir:
             # reference evaluation dump: per-frame dynamic indices + pose
@@ -163,6 +184,16 @@ def replay(
                 f"scan {i}/{len(seq) - 1} pose=({pose[0]:+.2f}, "
                 f"{pose[1]:+.2f}, {pose[2]:+.2f}) dyn_px={n_dyn}"
             )
+        if dashboard_every and i % dashboard_every == 0:
+            print(
+                debug_dashboard(
+                    prof, i, len(seq), pose, quat,
+                    int(jnp.sum(state.odom.store.valid)),
+                    int(mapper.num_points(map_state)),
+                    int(jnp.sum(state.tracks.active)),
+                    n_dyn,
+                )
+            )
 
     if out_dir:
         pose_rec.save(os.path.join(out_dir, "trajectory_tum.txt"))
@@ -178,9 +209,10 @@ def replay(
     return ReplayResult(
         poses=np.stack(poses) if poses else np.zeros((0, 3)),
         quats=np.stack(quats) if quats else np.zeros((0, 4)),
-        stamps=np.asarray(seq.stamps[start:]),
+        stamps=np.asarray(stamps_kept),
         num_keyframes=int(jnp.sum(state.odom.store.valid)),
         map_points=int(mapper.num_points(map_state)),
+        dropped_scans=dropped,
         profiler=prof,
         pose_recorder=pose_rec,
         object_trajectories=obj_trajs,
@@ -188,6 +220,44 @@ def replay(
         final_state=state,
         map_state=map_state,
     )
+
+
+def debug_dashboard(
+    prof: profiling.Profiler,
+    scan_idx: int,
+    n_scans: int,
+    pose: np.ndarray,
+    quat: np.ndarray,
+    num_keyframes: int,
+    map_points: int,
+    active_tracks: int,
+    dynamic_pixels: int,
+) -> str:
+    """Console dashboard (OdomNode::debug, odom.cc:1317-1461): pose,
+    store sizes, host memory, and the per-stage timing table."""
+    rss_mb = 0.0
+    try:
+        with open("/proc/self/status") as f:
+            for line in f:
+                if line.startswith("VmRSS"):
+                    rss_mb = float(line.split()[1]) / 1024.0
+                    break
+    except OSError:
+        pass
+    lines = [
+        "+" + "-" * 62 + "+",
+        "| DDLO (TPU)  scan %6d / %-6d            RSS %8.1f MB |"
+        % (scan_idx, n_scans - 1, rss_mb),
+        "| pose  xyz (%+8.3f, %+8.3f, %+8.3f) m                |"
+        % (pose[0], pose[1], pose[2]),
+        "| quat wxyz (%+.3f, %+.3f, %+.3f, %+.3f)                   |"
+        % (quat[0], quat[1], quat[2], quat[3]),
+        "| keyframes %5d   map %9d pts   tracks %3d   dyn px %5d"
+        % (num_keyframes, map_points, active_tracks, dynamic_pixels),
+        "+" + "-" * 62 + "+",
+        prof.dashboard(),
+    ]
+    return "\n".join(lines)
 
 
 def ate_rmse(est_positions: np.ndarray, gt_poses: np.ndarray) -> float:

@@ -146,3 +146,29 @@ def test_pipeline_static_only_keyframes_keep_world():
     assert n_static > 0.5 * n_raw
     # ground was identified somewhere
     assert int(np.asarray(out.ground_mask).sum()) > 100
+
+
+def test_spherical_projection_mode_runs():
+    """organized=false (the upstream LiDAR path, detection.cpp:330-367):
+    the pipeline maps per-pixel object slots back to source points through
+    the projection's point_index instead of assuming pixel==point."""
+    cfg = ddlo_cfg()
+    cfg = dataclasses.replace(
+        cfg, detection=dataclasses.replace(cfg.detection, organized=False)
+    )
+    H, W = cfg.detection.rows, cfg.detection.columns
+    world = synthetic.World.town(seed=5, n_static=8)
+    rng = np.random.default_rng(0)
+    T = np.eye(4)
+    pts, mask = synthetic.render_scan(world, T, H=H, W=W, t=0.0, rng=rng)
+    state = pipeline.init_state(cfg, jnp.asarray(pts), jnp.asarray(mask), 0.0)
+    T[:3, 3] = [0.1, 0.0, 0.0]
+    pts, mask = synthetic.render_scan(world, T, H=H, W=W, t=0.1, rng=rng)
+    state, out = pipeline.step(
+        cfg, state, jnp.asarray(pts), jnp.asarray(mask), jnp.float32(0.1)
+    )
+    assert np.all(np.isfinite(np.asarray(out.odom.pose)))
+    assert abs(float(out.odom.pose[0]) - 0.1) < 0.05
+    # per-point masks have source-point shape
+    assert out.non_static_mask.shape == (H * W,)
+    assert bool(jnp.any(out.detections.point_index >= 0))

@@ -99,3 +99,42 @@ def test_pcd_roundtrip_binary_and_ascii(tmp_path):
         np.testing.assert_allclose(
             extras["intensity"], inten[mask], atol=1e-5
         )
+
+
+def test_viz_debug_images(tmp_path):
+    import numpy as np
+
+    from dynamic_direct_lidar_odometry_tpu.utils import viz
+
+    rng = np.random.default_rng(0)
+    r = rng.uniform(0, 30, (16, 64))
+    res = rng.uniform(0, 1, (16, 64))
+    lab = np.full((16, 64), -1, np.int32)
+    lab[4:8, 10:20] = 123
+    lab[10:12, 30:40] = 456
+    viz.save_debug_images(str(tmp_path), 7, r, res, lab)
+    import os
+
+    for name in ("range_000007.png", "residual_000007.png", "labels_000007.png"):
+        assert os.path.exists(os.path.join(str(tmp_path), name))
+    cols = viz.label_colors(lab)
+    assert np.all(cols[lab == -1] == 0)
+    assert np.any(cols[lab == 123] > 0)
+    # distinct labels get distinct colors
+    assert not np.array_equal(cols[5, 15], cols[10, 35])
+
+
+def test_debug_dashboard_renders():
+    import numpy as np
+
+    from dynamic_direct_lidar_odometry_tpu import runner
+    from dynamic_direct_lidar_odometry_tpu.utils import profiling
+
+    prof = profiling.Profiler()
+    prof["total"].add(12.5)
+    s = runner.debug_dashboard(
+        prof, 10, 100, np.array([1.0, -2.0, 0.5]),
+        np.array([1.0, 0, 0, 0]), 5, 12345, 3, 42,
+    )
+    assert "DDLO" in s and "keyframes" in s and "12345" in s
+    assert "total" in s

@@ -128,3 +128,56 @@ def test_batched_pipeline_step_runs_sharded():
         cfg, s1, jnp.asarray(pts), jnp.asarray(mask), jnp.float32(0.1)
     )
     np.testing.assert_allclose(poses[0], np.asarray(out1.odom.pose), atol=1e-5)
+
+
+def test_replay_batch_matches_single_stream():
+    """Batched multi-stream replay (parallel/replay.py) on the 8-device
+    CPU mesh reproduces the single-stream transition per stream."""
+    import dataclasses
+
+    import numpy as np
+    import jax.numpy as jnp
+
+    from dynamic_direct_lidar_odometry_tpu import config as cfg_lib, pipeline
+    from dynamic_direct_lidar_odometry_tpu.io import dataset
+    from dynamic_direct_lidar_odometry_tpu.parallel import replay, sharding
+
+    cfg = cfg_lib.doals_config()
+    cfg = dataclasses.replace(
+        cfg,
+        detection=dataclasses.replace(
+            cfg.detection, rows=16, columns=128, ground_rows=4
+        ),
+        capacity=cfg_lib.CapacityConfig(
+            max_points=512, max_submap_points=2048, max_keyframes=8,
+            max_keyframe_points=512, max_objects=4, max_tracks=4,
+            nn_chunk=128,
+        ),
+    )
+    B, S = 4, 3
+    seqs = [
+        dataset.synthetic_sequence(n_scans=S, H=16, W=128, n_dynamic=0, seed=i)
+        for i in range(B)
+    ]
+    points = np.stack([s.points for s in seqs])
+    masks = np.stack([s.mask for s in seqs])
+    stamps = np.stack([s.stamps for s in seqs])
+
+    mesh = sharding.make_mesh(4, pt=1)
+    res = replay.replay_batch(cfg, points, masks, stamps, mesh=mesh)
+    assert res.poses.shape == (B, S - 1, 3)
+    assert np.all(np.isfinite(res.poses))
+
+    # stream 0 must match a plain single-stream run
+    st = pipeline.init_state(
+        cfg, jnp.asarray(points[0, 0]), jnp.asarray(masks[0, 0]),
+        float(stamps[0, 0]),
+    )
+    for s in range(1, S):
+        st, out = pipeline.step(
+            cfg, st, jnp.asarray(points[0, s]), jnp.asarray(masks[0, s]),
+            jnp.float32(stamps[0, s]),
+        )
+        np.testing.assert_allclose(
+            res.poses[0, s - 1], np.asarray(out.odom.pose), atol=2e-4
+        )

@@ -76,6 +76,13 @@ def load_library(rebuild: bool = False) -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_float),
         ctypes.POINTER(ctypes.c_uint8),
     ]
+    lib.ddlo_save_pcd.restype = ctypes.c_int
+    lib.ddlo_save_pcd.argtypes = [
+        ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int,
+    ]
     _lib = lib
     return _lib
 
@@ -100,6 +107,33 @@ def load_pcd_native(path: str, capacity: int) -> Tuple[np.ndarray, np.ndarray]:
     if n < 0:
         raise IOError(f"failed to parse {path}")
     return xyz, mask.astype(bool)
+
+
+def save_pcd_native(
+    path: str, points: np.ndarray, mask: Optional[np.ndarray] = None
+) -> int:
+    """Binary xyz PCD write through the C++ runtime (the reference's
+    pcl::io::savePCDFileBinary, map.cc:177). Returns points written."""
+    lib = load_library()
+    if lib is None:
+        raise RuntimeError("native scanio unavailable (no toolchain?)")
+    pts = np.ascontiguousarray(np.asarray(points, np.float32).reshape(-1, 3))
+    n = len(pts)
+    if mask is None:
+        m = np.ones((n,), np.uint8)
+    else:
+        m = np.ascontiguousarray(np.asarray(mask, bool).reshape(-1)).astype(
+            np.uint8
+        )
+    wrote = lib.ddlo_save_pcd(
+        path.encode(),
+        pts.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        m.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        n,
+    )
+    if wrote < 0:
+        raise IOError(f"failed to write {path}")
+    return wrote
 
 
 class PrefetchingReader:

@@ -34,7 +34,16 @@ def save_pcd(
     binary: bool = True,
 ) -> int:
     """Write valid points to ``path``. Returns the number written
-    (the service's success/size response, map.cc:178-186)."""
+    (the service's success/size response, map.cc:178-186).
+
+    Plain binary xyz dumps go through the native C++ writer when the
+    scanio runtime is built (map-sized clouds skip the Python row copy);
+    intensity/ascii variants use the portable NumPy path."""
+    if binary and intensity is None:
+        from dynamic_direct_lidar_odometry_tpu.io import native
+
+        if native.available():
+            return native.save_pcd_native(path, points, mask)
     pts = np.asarray(points, np.float32).reshape(-1, 3)
     if mask is not None:
         m = np.asarray(mask, bool).reshape(-1)

@@ -258,6 +258,32 @@ int ddlo_seq_next(void* h, float* xyz, uint8_t* mask, double* stamp) {
 
 void ddlo_seq_close(void* h) { delete static_cast<Sequence*>(h); }
 
+// Binary PCD v0.7 writer — the native counterpart of the reference's
+// save_pcd service (pcl::io::savePCDFileBinary, src/odometry/map.cc:177).
+// Writes only rows with mask!=0. Returns points written, -1 on error.
+int ddlo_save_pcd(const char* path, const float* xyz, const uint8_t* mask,
+                  int n) {
+  std::ofstream f(path, std::ios::binary);
+  if (!f) return -1;
+  int kept = 0;
+  for (int i = 0; i < n; ++i) kept += mask ? (mask[i] ? 1 : 0) : 1;
+  f << "# .PCD v0.7 - Point Cloud Data file format\nVERSION 0.7\n"
+    << "FIELDS x y z\nSIZE 4 4 4\nTYPE F F F\nCOUNT 1 1 1\n"
+    << "WIDTH " << kept << "\nHEIGHT 1\nVIEWPOINT 0 0 0 1 0 0 0\n"
+    << "POINTS " << kept << "\nDATA binary\n";
+  std::vector<float> buf;
+  buf.reserve(static_cast<size_t>(kept) * 3);
+  for (int i = 0; i < n; ++i) {
+    if (mask && !mask[i]) continue;
+    buf.push_back(xyz[3 * i]);
+    buf.push_back(xyz[3 * i + 1]);
+    buf.push_back(xyz[3 * i + 2]);
+  }
+  f.write(reinterpret_cast<const char*>(buf.data()),
+          static_cast<std::streamsize>(buf.size() * sizeof(float)));
+  return f ? kept : -1;
+}
+
 // One-shot PCD load (no thread), for tools/tests.
 int ddlo_load_pcd(const char* path, int cap, float* xyz, uint8_t* mask) {
   Scan s;

@@ -81,3 +81,35 @@ def test_native_agrees_with_python_reader_on_saved_map(tmp_path):
     xyz, m = native.load_pcd_native(path, capacity=300)
     assert m.all()
     np.testing.assert_allclose(xyz, pts, atol=1e-6)
+
+
+def test_native_pcd_writer_roundtrip(tmp_path):
+    import numpy as np
+
+    from dynamic_direct_lidar_odometry_tpu.io import native, pcd
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("no native toolchain")
+    rng = np.random.default_rng(0)
+    pts = rng.uniform(-10, 10, (500, 3)).astype(np.float32)
+    mask = rng.random(500) < 0.7
+    path = str(tmp_path / "out.pcd")
+    n = native.save_pcd_native(path, pts, mask)
+    assert n == int(mask.sum())
+    back, fields = pcd.load_pcd(path)
+    np.testing.assert_allclose(back[:, :3], pts[mask], atol=1e-6)
+
+
+def test_save_pcd_dispatches_native(tmp_path):
+    import numpy as np
+
+    from dynamic_direct_lidar_odometry_tpu.io import pcd
+
+    pts = np.random.default_rng(1).uniform(-5, 5, (100, 3)).astype(np.float32)
+    path = str(tmp_path / "a.pcd")
+    n = pcd.save_pcd(path, pts, np.ones(100, bool))
+    assert n == 100
+    back, _ = pcd.load_pcd(path)
+    np.testing.assert_allclose(back[:, :3], pts, atol=1e-6)

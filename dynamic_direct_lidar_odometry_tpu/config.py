@@ -196,6 +196,9 @@ class DDLOConfig:
     gravity_align: bool = False
     odom_frame: str = "odom"
     child_frame: str = "base_link"
+    # evaluation dumps (odomNode/evaluation/*, detection.cpp:114-116,936-954)
+    evaluate: bool = False
+    evaluation_dir: str = ""
 
     preprocessing: PreprocessingConfig = PreprocessingConfig()
     keyframe: KeyframeConfig = KeyframeConfig()
@@ -256,6 +259,8 @@ def config_from_dict(raw: Mapping[str, Any], **overrides: Any) -> DDLOConfig:
         gravity_align=g("gravityAlign", False),
         odom_frame=g("odomFrame", "odom"),
         child_frame=g("childFrame", "base_link"),
+        evaluate=g("odomNode/evaluation/evaluate", False),
+        evaluation_dir=g("odomNode/evaluation/dir", ""),
         preprocessing=PreprocessingConfig(
             downsampling=DownsamplingConfig(
                 use=g("odomNode/preprocessing/downsampling/use", False),

@@ -65,6 +65,12 @@ def replay(
     viz_every: int = 0,
 ) -> ReplayResult:
     """Run the full DDLO node graph over a scan sequence."""
+    # config-driven evaluation dumps (odomNode/evaluation/*, the YAML way
+    # of enabling what the `evaluate` kwarg enables)
+    if cfg.evaluate:
+        evaluate = True
+        if not out_dir and cfg.evaluation_dir:
+            out_dir = cfg.evaluation_dir
     if out_dir:
         os.makedirs(out_dir, exist_ok=True)
 

@@ -76,7 +76,7 @@ class OdomOutputs(NamedTuple):
     submap_size: jnp.ndarray
 
 
-def _settings(stage) -> gicp.GICPSettings:
+def _settings(stage, compute_residuals: bool = True) -> gicp.GICPSettings:
     return gicp.GICPSettings(
         max_correspondence_distance=stage.max_correspondence_distance,
         max_iterations=stage.max_iterations,
@@ -84,6 +84,7 @@ def _settings(stage) -> gicp.GICPSettings:
         transformation_epsilon=stage.transformation_epsilon,
         lm_max_iterations=stage.lm_max_iterations,
         lm_init_lambda_factor=stage.lm_init_lambda_factor,
+        compute_residuals=compute_residuals,
     )
 
 
@@ -183,7 +184,9 @@ def step(
         state.prev_mask,
         state.prev_covs,
         jnp.eye(4),
-        _settings(cfg.gicp.s2s),
+        # the reference never exports S2S residuals (only gicp_s2m feeds
+        # the residual image, odom.cc:792-793) — skip the extra NN sweep
+        _settings(cfg.gicp.s2s, compute_residuals=False),
     )
     T_s2s = se3.compose(state.T_s2s_prev, s2s.T)  # propagateS2S (odom.cc:921-939)
 

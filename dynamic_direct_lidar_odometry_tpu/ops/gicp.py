@@ -47,6 +47,11 @@ class GICPSettings(NamedTuple):
     lm_max_iterations: int = 10
     lm_init_lambda_factor: float = 1e-9
     optimizer: str = "lm"  # "lm" | "gn"
+    # run one extra correspondence pass at the final pose to export
+    # per-point NN residuals (getResiduals, odom.cc:792-793 — the
+    # reference only does this for the S2M result feeding the residual
+    # image; S2S skips it and saves a full NN sweep)
+    compute_residuals: bool = True
 
 
 class GICPResult(NamedTuple):
@@ -331,16 +336,23 @@ def align(
     )
     st = jax.lax.while_loop(outer_cond, outer_body, init)
 
-    # Final residuals/correspondences at the final pose (the reference reuses
-    # the buffers of the *last* update_correspondences, odom.cc:792-793 ->
-    # nano_gicp_impl.hpp:226-232; recomputing at the final pose is the same
-    # quantity one linearization fresher).
-    y_fin, H_fin, _, aux = lin(st.x0)
-    idx, valid, _, _, sqd = aux
-    residuals = jnp.sqrt(jnp.maximum(sqd, 0.0)) * src_mask
-    corr = jnp.where(valid, idx, -1)
-
-    num_inliers = _allsum(jnp.sum(valid.astype(jnp.int32)))
+    # Final residuals/correspondences at the final pose (getResiduals,
+    # odom.cc:792-793 -> nano_gicp_impl.hpp:199-232: a fresh per-point NN
+    # query at the final T). Skipped when the caller doesn't consume
+    # residuals (the reference never calls getResiduals on gicp_s2s).
+    if s.compute_residuals:
+        y_fin, H_fin, _, aux = lin(st.x0)
+        idx, valid, _, _, sqd = aux
+        residuals = jnp.sqrt(jnp.maximum(sqd, 0.0)) * src_mask
+        corr = jnp.where(valid, idx, -1)
+        num_inliers = _allsum(jnp.sum(valid.astype(jnp.int32)))
+    else:
+        y_fin, H_fin = st.y, st.H
+        residuals = jnp.zeros((src_pts.shape[0],), jnp.float32)
+        corr = jnp.full((src_pts.shape[0],), -1, jnp.int32)
+        # converged runs always had >= 1 inlier (degenerate runs flag
+        # converged too, but with y=H=0 — approximate with the mask count)
+        num_inliers = _allsum(jnp.sum(src_mask.astype(jnp.int32)))
     return GICPResult(
         T=st.x0,
         converged=st.converged & (num_inliers > 0),

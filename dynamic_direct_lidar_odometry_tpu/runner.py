@@ -117,9 +117,18 @@ def replay(
         msk = jnp.asarray(seq.mask[i])
         ts = jnp.float32(seq.stamps[i])
 
+        prev_state = state
         with prof.stage("total") as h:
             state, out = pipeline.step(cfg, state, pts, msk, ts)
             h.value = out
+
+        # NaN watchdog (new vs the reference, which has no failure
+        # detection, SURVEY.md §5): a non-finite pose would poison every
+        # later scan — drop this scan and keep the last good state
+        if not bool(jnp.all(jnp.isfinite(out.odom.T))):
+            state = prev_state
+            dropped += 1
+            continue
 
         # ---- map node feedback loop (map.cc:101-156) ----
         if bool(out.keyframe_added):

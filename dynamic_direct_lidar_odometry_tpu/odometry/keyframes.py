@@ -199,17 +199,28 @@ def select_submap(
     return sel
 
 
-@partial(jax.jit, static_argnames=("max_slots",))
+@partial(jax.jit, static_argnames=("max_slots", "capacity"))
 def gather_submap(
-    store: KeyframeStore, sel: jnp.ndarray, max_slots: int
+    store: KeyframeStore,
+    sel: jnp.ndarray,
+    max_slots: int,
+    capacity: int | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Concatenate the selected keyframes' clouds+covs into the fixed
     submap target buffer (odom.cc:1290-1314).
 
     Selected keyframe slots are packed into ``max_slots`` gather indices
     (selection can exceed max_slots only via distance ties; overflow drops
-    the farthest). Returns (points (S,3), mask (S,), covs (S,3,3)) with
-    S = max_slots * P.
+    the farthest). With ``capacity`` set, the per-keyframe blocks are
+    additionally COMPACTED into a ``capacity``-point buffer: keyframe
+    clouds come out of the voxel filter front-packed, so one cumsum of
+    per-block counts + one scatter removes the sentinel slots that would
+    otherwise make every S2M NN sweep pay for max_slots * P points
+    (~4x waste at typical voxel occupancy). Overflow past ``capacity``
+    drops the highest-index keyframes' tails.
+
+    Returns (points (S,3), mask (S,), covs (S,3,3)) with
+    S = capacity or max_slots * P.
     """
     K = store.capacity
     # order selected slots first (stable by slot index)
@@ -218,6 +229,22 @@ def gather_submap(
     pts = store.points[order]  # (S_kf, P, 3)
     msk = store.masks[order] & picked[:, None]
     cvs = store.covs[order]
-    S = max_slots * store.points.shape[1]
-    pts = jnp.where(msk[..., None], pts, SENTINEL)
-    return pts.reshape(S, 3), msk.reshape(S), cvs.reshape(S, 3, 3)
+    P = store.points.shape[1]
+    if capacity is None:
+        S = max_slots * P
+        pts = jnp.where(msk[..., None], pts, SENTINEL)
+        return pts.reshape(S, 3), msk.reshape(S), cvs.reshape(S, 3, 3)
+
+    cnt = jnp.sum(msk.astype(jnp.int32), axis=1)  # (max_slots,)
+    offs = jnp.cumsum(cnt) - cnt
+    within = jnp.cumsum(msk.astype(jnp.int32), axis=1) - 1
+    dest = offs[:, None] + within  # target row per valid source row
+    dest = jnp.where(msk & (dest < capacity), dest, capacity)
+    flat = dest.reshape(-1)
+    out_pts = jnp.full((capacity + 1, 3), SENTINEL, pts.dtype)
+    out_pts = out_pts.at[flat].set(pts.reshape(-1, 3), mode="drop")[:capacity]
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=cvs.dtype), (capacity + 1, 3, 3))
+    out_cvs = eye.at[flat].set(cvs.reshape(-1, 3, 3), mode="drop")[:capacity]
+    total = jnp.minimum(jnp.sum(cnt), capacity)
+    out_msk = jnp.arange(capacity) < total
+    return out_pts, out_msk, out_cvs

@@ -203,7 +203,9 @@ def step(
         cfg.submap.knn + cfg.submap.kcv + cfg.submap.kcc,
         cfg.capacity.max_keyframes,
     )
-    sub_pts, sub_mask, sub_covs = kf.gather_submap(state.store, sel, max_slots)
+    sub_pts, sub_mask, sub_covs = kf.gather_submap(
+        state.store, sel, max_slots, capacity=cfg.capacity.max_submap_points
+    )
 
     # ---- scan-to-submap with S2S as guess (odom.cc:787-793) ----
     s2m = gicp.align(

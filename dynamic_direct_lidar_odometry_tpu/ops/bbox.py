@@ -200,20 +200,22 @@ def _intersection_area(r1, r2):
         t = vals / denom
         ipt = poly + (nxt - poly) * t[:, None]
 
-        # emit up to 2 points per input vertex: [s if keep] then [ipt if cross]
+        # emit up to 2 points per input vertex: [s if keep] then [ipt if
+        # cross]. Emission via one-hot matmuls (16x16) instead of
+        # scatters — the whole pairwise IoU matrix vmaps into batched
+        # VPU/MXU work with no scatter serialization.
         emit_cnt = keep_s.astype(jnp.int32) + crossing.astype(jnp.int32)
         offs = jnp.cumsum(emit_cnt) - emit_cnt
         new_n = jnp.sum(emit_cnt)
 
-        out = jnp.zeros_like(poly)
+        slots = jnp.arange(_PMAX)
         pos_s = jnp.where(keep_s, offs, _PMAX)
-        out = out.at[jnp.clip(pos_s, 0, _PMAX - 1)].add(
-            jnp.where((pos_s < _PMAX)[:, None], poly, 0.0)
-        )
         pos_i = jnp.where(crossing, offs + keep_s.astype(jnp.int32), _PMAX)
-        out = out.at[jnp.clip(pos_i, 0, _PMAX - 1)].add(
-            jnp.where((pos_i < _PMAX)[:, None], ipt, 0.0)
-        )
+        oh_s = (pos_s[:, None] == slots[None, :]).astype(poly.dtype)
+        oh_i = (pos_i[:, None] == slots[None, :]).astype(poly.dtype)
+        out = jnp.matmul(
+            oh_s.T, poly, precision=jax.lax.Precision.HIGHEST
+        ) + jnp.matmul(oh_i.T, ipt, precision=jax.lax.Precision.HIGHEST)
         # degenerate (<=2 vertices): dead polygon (bbox_iou.h:82-83,112-115)
         new_n = jnp.where(n <= 2, 0, new_n)
         return (out, new_n), None

@@ -140,3 +140,57 @@ def test_convex_hull_mask_square():
     m = np.asarray(kf.convex_hull_mask(pos, valid))
     assert m[:4].all()
     assert not m[4]
+
+
+def test_gather_submap_compacts_blocks():
+    """Compacted gather packs every selected keyframe's valid points into
+    the capacity buffer with identity covariance padding."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dynamic_direct_lidar_odometry_tpu.odometry import keyframes as kf
+
+    store = kf.empty_store(4, 8)
+    rng = np.random.default_rng(0)
+    for i in range(3):
+        pts = jnp.asarray(rng.uniform(-5, 5, (8, 3)).astype(np.float32))
+        msk = jnp.asarray(np.arange(8) < (3 + i))  # 3, 4, 5 valid
+        covs = jnp.broadcast_to(jnp.eye(3) * (i + 2.0), (8, 3, 3))
+        store = kf.add_keyframe(
+            store, jnp.bool_(True), jnp.zeros(3) + i,
+            jnp.asarray([1.0, 0, 0, 0]), pts, msk, covs,
+        )
+    sel = jnp.asarray([True, False, True, False])
+    pts, msk, covs = kf.gather_submap(store, sel, max_slots=3, capacity=16)
+    assert pts.shape == (16, 3) and covs.shape == (16, 3, 3)
+    assert int(msk.sum()) == 3 + 5  # keyframes 0 and 2
+    # valid rows are contiguous at the front
+    m = np.asarray(msk)
+    assert np.all(m[: m.sum()]) and not np.any(m[m.sum():])
+    # covariance of the first block's rows is the stored one (scale 2)
+    np.testing.assert_allclose(np.asarray(covs[0]), np.eye(3) * 2.0)
+    np.testing.assert_allclose(np.asarray(covs[3]), np.eye(3) * 4.0)
+    # compacted points match the valid subset, in block order
+    np.testing.assert_allclose(
+        np.asarray(pts[:3]), np.asarray(store.points[0][:3]), atol=1e-6
+    )
+
+
+def test_gather_submap_capacity_overflow_drops_tail():
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dynamic_direct_lidar_odometry_tpu.odometry import keyframes as kf
+
+    store = kf.empty_store(2, 8)
+    rng = np.random.default_rng(1)
+    for i in range(2):
+        pts = jnp.asarray(rng.uniform(-5, 5, (8, 3)).astype(np.float32))
+        store = kf.add_keyframe(
+            store, jnp.bool_(True), jnp.zeros(3), jnp.asarray([1.0, 0, 0, 0]),
+            pts, jnp.ones(8, bool), jnp.broadcast_to(jnp.eye(3), (8, 3, 3)),
+        )
+    pts, msk, covs = kf.gather_submap(
+        store, jnp.asarray([True, True]), max_slots=2, capacity=10
+    )
+    assert int(msk.sum()) == 10  # 16 valid points, 10 kept

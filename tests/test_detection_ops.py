@@ -290,3 +290,46 @@ def test_obb_iou_matrix_shape():
     m = bbox.obb_iou_matrix(boxes1, boxes2)
     assert m.shape == (5, 4)
     assert bool((m >= 0).all() and (m <= 1).all())
+
+
+def test_label_components_snake_pattern_converges():
+    """A serpentine component (worst case for row/col sweep convergence:
+    one sweep per turn) must still resolve to one component id."""
+    H, W = 24, 96
+    ranges = np.full((H, W), 20.0, np.float32)
+    eligible = np.zeros((H, W), bool)
+    # build a connected snake: alternating full rows joined at the ends
+    for k, r in enumerate(range(2, 20, 3)):
+        ranges[r, 4:92] = 5.0
+        eligible[r, 4:92] = True
+        if k % 2 == 0:
+            ranges[r : r + 4, 91] = 5.0
+            eligible[r : r + 4, 91] = True
+        else:
+            ranges[r : r + 4, 4] = 5.0
+            eligible[r : r + 4, 4] = True
+    theta, ax, ay = 0.25, 360.0 / W, 2 * 45.0 / (H - 1)
+    res = segmentation.label_components(
+        jnp.asarray(ranges), jnp.asarray(eligible), theta, ax, ay
+    )
+    got = np.asarray(res.labels)
+    ids = np.unique(got[eligible & (got >= 0)])
+    # contiguous equal-range snake = a single component
+    assert len(ids) == 1, ids
+
+
+def test_label_components_random_matches_oracle():
+    rng = np.random.default_rng(3)
+    H, W = 16, 64
+    ranges = rng.uniform(3.0, 25.0, (H, W)).astype(np.float32)
+    # smooth patches so the angle predicate creates non-trivial regions
+    ranges[4:12, 8:30] = 6.0 + rng.normal(0, 0.01, (8, 22))
+    ranges[2:10, 40:60] = 12.0 + rng.normal(0, 0.01, (8, 20))
+    eligible = rng.random((H, W)) < 0.9
+    theta, ax, ay = 0.25, 360.0 / W, 2 * 45.0 / (H - 1)
+    res = segmentation.label_components(
+        jnp.asarray(ranges), jnp.asarray(eligible), theta, ax, ay
+    )
+    got = np.asarray(res.labels)
+    ref = bfs_components_oracle(ranges, eligible, theta, ax, ay)
+    assert partitions_equal(got, ref, eligible)

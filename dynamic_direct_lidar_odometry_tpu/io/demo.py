@@ -33,7 +33,14 @@ def main(n_scans: int = 8) -> int:
             nn_chunk=256,
         ),
     )
-    seq = dataset.synthetic_sequence(n_scans=n_scans, H=16, W=256, n_dynamic=1)
+    import numpy as np
+
+    # a gentle arc (~1.5 deg/scan); the default pi/2 span at few scans
+    # means >10 deg/scan — beyond any real 10 Hz platform dynamics
+    seq = dataset.synthetic_sequence(
+        n_scans=n_scans, H=16, W=256, n_dynamic=1,
+        angle_span=np.pi / 16 * (n_scans / 8),
+    )
     res = runner.replay(cfg, seq, progress=True)
     ate = runner.ate_rmse(res.poses, seq.gt_poses)
     print(

@@ -20,6 +20,11 @@ import numpy as np
 
 def main():
     import jax
+
+    # persistent compile cache: repeat bench runs skip the ~1-2 min
+    # pipeline compile (cache key covers jaxlib + flags, so it is safe)
+    jax.config.update("jax_compilation_cache_dir", "/tmp/ddlo_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
     import jax.numpy as jnp
 
     from dynamic_direct_lidar_odometry_tpu import config as cfg_lib

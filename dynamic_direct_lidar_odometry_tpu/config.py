@@ -199,6 +199,10 @@ class DDLOConfig:
     # evaluation dumps (odomNode/evaluation/*, detection.cpp:114-116,936-954)
     evaluate: bool = False
     evaluation_dir: str = ""
+    # NEW vs reference: seed S2S with the previous scan-to-scan increment
+    # (constant-velocity motion model) instead of identity — stabilizes
+    # high angular rates; off by default for reference parity
+    initial_guess_motion: bool = False
 
     preprocessing: PreprocessingConfig = PreprocessingConfig()
     keyframe: KeyframeConfig = KeyframeConfig()

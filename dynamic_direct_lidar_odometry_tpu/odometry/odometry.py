@@ -54,6 +54,9 @@ class OdomState(NamedTuple):
     # Metrics / adaptive params
     spaciousness: jnp.ndarray  # () LPF'd median range
     keyframe_thresh_dist: jnp.ndarray  # () adaptive threshD
+    # Last S2S increment (constant-velocity S2S seed when
+    # cfg.initial_guess_motion; identity otherwise / at start)
+    prev_rel: jnp.ndarray  # (4, 4)
     # Bookkeeping
     scan_count: jnp.ndarray  # () int32
 
@@ -149,6 +152,7 @@ def init_state(
         store=store,
         spaciousness=p.spaciousness_median,
         keyframe_thresh_dist=jnp.float32(cfg.keyframe.thresh_dist),
+        prev_rel=jnp.eye(4),
         scan_count=jnp.int32(1),
     )
 
@@ -176,6 +180,9 @@ def step(
     )
 
     # ---- scan-to-scan (odom.cc:754-762) ----
+    # guess: identity like the reference, or the previous increment
+    # (constant-velocity model) when cfg.initial_guess_motion
+    s2s_guess = state.prev_rel if cfg.initial_guess_motion else jnp.eye(4)
     s2s = gicp.align(
         p.points,
         p.mask,
@@ -183,7 +190,7 @@ def step(
         state.prev_points,
         state.prev_mask,
         state.prev_covs,
-        jnp.eye(4),
+        s2s_guess,
         # the reference never exports S2S residuals (only gicp_s2m feeds
         # the residual image, odom.cc:792-793) — skip the extra NN sweep
         _settings(cfg.gicp.s2s, compute_residuals=False),
@@ -237,6 +244,7 @@ def step(
         store=state.store,
         spaciousness=spacious,
         keyframe_thresh_dist=kf_thresh_d,
+        prev_rel=s2s.T,
         scan_count=state.scan_count + 1,
     )
 

@@ -194,3 +194,59 @@ def test_gather_submap_capacity_overflow_drops_tail():
         store, jnp.asarray([True, True]), max_slots=2, capacity=10
     )
     assert int(msk.sum()) == 10  # 16 valid points, 10 kept
+
+
+def test_motion_model_guess_stabilizes_fast_rotation():
+    """initial_guess_motion=True (constant-velocity S2S seed, new vs the
+    reference) tracks a fast constant-rate turn that identity seeding
+    loses."""
+    import dataclasses
+
+    import numpy as np
+    import jax.numpy as jnp
+
+    from dynamic_direct_lidar_odometry_tpu import config as cfg_lib, pipeline
+    from dynamic_direct_lidar_odometry_tpu.io import synthetic
+
+    base = cfg_lib.doals_config()
+    base = dataclasses.replace(
+        base,
+        dynamic_detection=False,
+        detection=dataclasses.replace(
+            base.detection, rows=16, columns=256, ground_rows=4
+        ),
+        capacity=cfg_lib.CapacityConfig(
+            max_points=1024, max_submap_points=4096, max_keyframes=16,
+            max_keyframe_points=1024, max_objects=4, max_tracks=4,
+            nn_chunk=256,
+        ),
+    )
+
+    def run(cfg):
+        world = synthetic.World.town(seed=3, n_static=10)
+        rng = np.random.default_rng(0)
+        rate = np.deg2rad(9.0)  # 9 deg/scan constant turn
+        T = np.eye(4)
+        pts, mask = synthetic.render_scan(world, T, H=16, W=256, t=0.0, rng=rng)
+        st = pipeline.init_state(cfg, jnp.asarray(pts), jnp.asarray(mask), 0.0)
+        errs = []
+        for i in range(1, 8):
+            th = rate * i
+            T = np.eye(4)
+            T[0, 0] = T[1, 1] = np.cos(th)
+            T[0, 1] = -np.sin(th)
+            T[1, 0] = np.sin(th)
+            pts, mask = synthetic.render_scan(
+                world, T, H=16, W=256, t=0.1 * i, rng=rng
+            )
+            st, out = pipeline.step(
+                cfg, st, jnp.asarray(pts), jnp.asarray(mask),
+                jnp.float32(0.1 * i),
+            )
+            R = np.asarray(out.odom.T)[:3, :3]
+            yaw = np.arctan2(R[1, 0], R[0, 0])
+            errs.append(abs(yaw - th))
+        return max(errs)
+
+    err_motion = run(dataclasses.replace(base, initial_guess_motion=True))
+    assert err_motion < np.deg2rad(2.0), np.degrees(err_motion)

@@ -9,7 +9,7 @@ odom.cc:970-991) used for adaptive keyframing.
 from __future__ import annotations
 
 from functools import partial
-from typing import NamedTuple, Tuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

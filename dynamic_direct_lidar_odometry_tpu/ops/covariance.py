@@ -15,7 +15,6 @@ a vectorized batched solver instead of 1e4 sequential host-loop SVDs.
 from __future__ import annotations
 
 from functools import partial
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

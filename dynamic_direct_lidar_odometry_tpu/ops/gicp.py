@@ -21,7 +21,7 @@ see tests/test_gicp.py for the accuracy budget this meets).
 from __future__ import annotations
 
 from functools import partial
-from typing import NamedTuple, Tuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -23,7 +23,6 @@ import os
 from typing import Optional
 
 import numpy as np
-import jax
 import jax.numpy as jnp
 
 from dynamic_direct_lidar_odometry_tpu import pipeline

@@ -274,20 +274,35 @@ def debug_dashboard(
     return "\n".join(lines)
 
 
-def ate_rmse(est_positions: np.ndarray, gt_poses: np.ndarray) -> float:
+def ate_rmse(
+    est_positions: np.ndarray,
+    gt_poses: np.ndarray,
+    est_stamps: Optional[np.ndarray] = None,
+    gt_stamps: Optional[np.ndarray] = None,
+) -> float:
     """Absolute trajectory error (RMSE) — the evo-style metric the
     reference's TUM dumps feed (odom.cc:704-709).
 
     The estimated trajectory lives in the frame of the first scan (the
-    replay seeds ``T0 = I``); ground truth is world-frame. ``est[i]``
-    corresponds to ``gt_poses[i + off]`` with ``off = len(gt) - len(est)``
-    and the reference frame is ``gt_poses[off - 1]`` (the init scan), so
-    estimates are mapped to world through that pose before differencing.
+    replay seeds ``T0 = I``); ground truth is world-frame. Without
+    stamps, ``est[i]`` corresponds to ``gt_poses[i + off]`` with
+    ``off = len(gt) - len(est)``; with both stamp arrays (robust when the
+    replay dropped scans mid-sequence), estimates pair with the
+    nearest-stamp ground-truth pose. The reference frame is the init
+    scan's ground-truth pose.
     """
     est = np.asarray(est_positions)
-    off = len(gt_poses) - len(est)
-    T0 = gt_poses[max(off - 1, 0)]
+    if est_stamps is not None and gt_stamps is not None:
+        gt_stamps = np.asarray(gt_stamps)
+        idx = np.abs(
+            gt_stamps[None, :] - np.asarray(est_stamps)[:, None]
+        ).argmin(axis=1)
+        T0 = gt_poses[max(int(idx.min()) - 1, 0)]
+        gt = gt_poses[idx, :3, 3]
+    else:
+        off = len(gt_poses) - len(est)
+        T0 = gt_poses[max(off - 1, 0)]
+        gt = gt_poses[off:, :3, 3]
     est_w = est @ T0[:3, :3].T + T0[:3, 3]
-    gt = gt_poses[off:, :3, 3]
     err = est_w - gt
     return float(np.sqrt(np.mean(np.sum(err**2, axis=1))))

@@ -115,3 +115,19 @@ def test_cli_synth_and_run(tmp_path):
         "run", "--dataset", path, "--out", out, "--quiet", "--no-dynamic",
     ]) == 0
     assert os.path.exists(os.path.join(out, "trajectory_tum.txt"))
+
+
+def test_ate_rmse_stamp_alignment_with_drops():
+    rng = np.random.default_rng(0)
+    S = 10
+    gt = np.tile(np.eye(4), (S, 1, 1))
+    gt[:, :3, 3] = rng.uniform(-5, 5, (S, 3))
+    stamps = np.arange(S) * 0.1
+    # estimates in the frame of gt[0] for scans 1..9 minus a dropped scan 4
+    kept = [i for i in range(1, S) if i != 4]
+    T0 = gt[0]
+    est = np.array([
+        (np.linalg.inv(T0) @ gt[i])[:3, 3] for i in kept
+    ])
+    ate = runner.ate_rmse(est, gt, est_stamps=stamps[kept], gt_stamps=stamps)
+    assert ate < 1e-5, ate

@@ -74,8 +74,11 @@ def _cmd_run(args: argparse.Namespace) -> int:
         f"map_points={res.map_points}"
     )
     if seq.gt_poses is not None:
-        print(f"ATE RMSE vs ground truth: "
-              f"{runner.ate_rmse(res.poses, seq.gt_poses):.4f} m")
+        ate = runner.ate_rmse(
+            res.poses, seq.gt_poses,
+            est_stamps=res.stamps, gt_stamps=seq.stamps,
+        )
+        print(f"ATE RMSE vs ground truth: {ate:.4f} m")
     return 0
 
 

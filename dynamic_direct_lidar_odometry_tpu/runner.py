@@ -175,6 +175,7 @@ def replay(
                 np.asarray(out.detections.range_image),
                 np.asarray(out.detections.residual_image),
                 np.asarray(out.detections.labels),
+                dilate_kernel_size=cfg.detection.dilate_kernel_size,
             )
 
         if evaluate and out_dir:

@@ -39,12 +39,29 @@ def label_colors(labels: np.ndarray, seed: int = 0) -> np.ndarray:
     return out
 
 
+def dilate(img: np.ndarray, k: int) -> np.ndarray:
+    """k x k max-filter (cv::dilate on the residual debug image,
+    detection.cpp:855-856)."""
+    if k <= 1:
+        return img
+    out = np.asarray(img, np.float64).copy()
+    h = k // 2
+    padded = np.pad(out, h, mode="edge")
+    for dr in range(k):
+        for dc in range(k):
+            out = np.maximum(
+                out, padded[dr : dr + out.shape[0], dc : dc + out.shape[1]]
+            )
+    return out
+
+
 def save_debug_images(
     out_dir: str,
     idx: int,
     range_image: np.ndarray,
     residual_image: np.ndarray,
     labels: np.ndarray,
+    dilate_kernel_size: int = 0,
 ) -> None:
     """Write range_XXXXXX.png / residual_XXXXXX.png / labels_XXXXXX.png."""
     from PIL import Image
@@ -53,7 +70,8 @@ def save_debug_images(
     Image.fromarray(_normalize_u8(range_image)).save(
         os.path.join(out_dir, f"range_{idx:06d}.png")
     )
-    Image.fromarray(_normalize_u8(residual_image)).save(
+    res = dilate(residual_image, dilate_kernel_size)
+    Image.fromarray(_normalize_u8(res)).save(
         os.path.join(out_dir, f"residual_{idx:06d}.png")
     )
     Image.fromarray(label_colors(labels)).save(

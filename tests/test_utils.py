@@ -138,3 +138,15 @@ def test_debug_dashboard_renders():
     )
     assert "DDLO" in s and "keyframes" in s and "12345" in s
     assert "total" in s
+
+
+def test_viz_dilate():
+    import numpy as np
+
+    from dynamic_direct_lidar_odometry_tpu.utils import viz
+
+    img = np.zeros((8, 8))
+    img[4, 4] = 1.0
+    out = viz.dilate(img, 3)
+    assert out[3:6, 3:6].min() == 1.0 and out[0, 0] == 0.0
+    np.testing.assert_array_equal(viz.dilate(img, 1), img)

@@ -119,15 +119,27 @@ def _linearize(
     src_t = se3.transform_points(T, src_pts)
     src_t_q = jnp.where(src_mask[:, None], src_t, SENTINEL)
 
-    idx, sqd = knn_ops.nn1_best(src_t_q, tgt_pts)
-    valid = src_mask & tgt_mask[idx] & (sqd < max_corr_dist * max_corr_dist)
-    vf = valid.astype(src_pts.dtype)
+    import os
 
-    cov_B = tgt_covs[idx]
+    if os.environ.get("DDLO_FUSED_NN") == "1" and jax.default_backend() == "tpu":
+        # experimental fused kernel: winner coords + covariance come out
+        # of the NN fold, no tgt[idx]/tgt_covs[idx] HBM gathers
+        from dynamic_direct_lidar_odometry_tpu.ops import nn_pallas
+
+        idx, sqd, B, cov_B = nn_pallas.nn1_gather_pallas(
+            src_t_q, tgt_pts, tgt_covs
+        )
+        valid = src_mask & tgt_mask[idx] & (sqd < max_corr_dist * max_corr_dist)
+        vf = valid.astype(src_pts.dtype)
+    else:
+        idx, sqd = knn_ops.nn1_best(src_t_q, tgt_pts)
+        valid = src_mask & tgt_mask[idx] & (sqd < max_corr_dist * max_corr_dist)
+        vf = valid.astype(src_pts.dtype)
+        cov_B = tgt_covs[idx]
+        B = tgt_pts[idx]
     RCAR = jnp.einsum("ij,njk,lk->nil", R, src_covs, R, precision=hp)
     M = inv3x3(cov_B + RCAR)  # (N, 3, 3) mahalanobis weights
 
-    B = tgt_pts[idx]
     e = (B - src_t) * vf[:, None]  # (N, 3)
 
     Me = jnp.einsum("nij,nj->ni", M, e, precision=hp)

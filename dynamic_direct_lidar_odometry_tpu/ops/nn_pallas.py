@@ -152,6 +152,145 @@ def nn1_pallas(
     return idx, sqd
 
 
+def _nn1_gather_kernel(
+    qt_ref, tt_ref, tc_ref, idx_ref, dist_ref, b_ref, cov_ref, *, t_chunk: int
+):
+    """1-NN that also carries the winning target's coordinates and
+    covariance through the fold, so the caller needs NO ``tgt[idx]`` /
+    ``tgt_covs[idx]`` HBM gathers afterwards.
+
+    qt_ref: (3, QT)   tt_ref: (3, T)   tc_ref: (9, T) row-major 3x3 covs
+    outputs: idx/dist (QT//128, 128), b (3, QT), cov (9, QT)
+    """
+    T = tt_ref.shape[1]
+    QT = qt_ref.shape[1]
+    n_chunks = T // t_chunk
+    folds = t_chunk // 128
+
+    qx = qt_ref[0, :].reshape(QT, 1)
+    qy = qt_ref[1, :].reshape(QT, 1)
+    qz = qt_ref[2, :].reshape(QT, 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (QT, 128), 1)
+
+    def body(c, carry):
+        best_d, best_i, best_f = carry  # best_f: (13, QT, 128) tx..tz,cov9,
+        base = c * t_chunk
+        tx = tt_ref[0, pl.ds(base, t_chunk)].reshape(1, t_chunk)
+        ty = tt_ref[1, pl.ds(base, t_chunk)].reshape(1, t_chunk)
+        tz = tt_ref[2, pl.ds(base, t_chunk)].reshape(1, t_chunk)
+        dx = qx - tx
+        dy = qy - ty
+        dz = qz - tz
+        d = dx * dx + dy * dy + dz * dz
+        for f in range(folds):
+            sl = slice(f * 128, (f + 1) * 128)
+            dd = d[:, sl]
+            tk = dd < best_d
+            best_i = jnp.where(tk, lane + (base + f * 128), best_i)
+            best_d = jnp.where(tk, dd, best_d)
+            feats = []
+            for r in range(3):
+                feats.append(
+                    jnp.broadcast_to(
+                        tt_ref[r, pl.ds(base + f * 128, 128)].reshape(1, 128),
+                        (QT, 128),
+                    )
+                )
+            for r in range(9):
+                feats.append(
+                    jnp.broadcast_to(
+                        tc_ref[r, pl.ds(base + f * 128, 128)].reshape(1, 128),
+                        (QT, 128),
+                    )
+                )
+            new_f = jnp.stack(feats, axis=0)  # (12, QT, 128)
+            best_f = jnp.where(tk[None, :, :], new_f, best_f)
+        return best_d, best_i, best_f
+
+    init = (
+        jnp.full((QT, 128), _BIG, jnp.float32),
+        jnp.zeros((QT, 128), jnp.int32),
+        jnp.zeros((12, QT, 128), jnp.float32),
+    )
+    best_d, best_i, best_f = jax.lax.fori_loop(0, n_chunks, body, init)
+
+    win = jnp.min(best_d, axis=1, keepdims=True)
+    is_min = best_d == win
+    idx_cand = jnp.where(is_min, best_i, jnp.int32(2**30))
+    win_idx = jnp.min(idx_cand, axis=1)  # (QT,)
+    idx_ref[:, :] = win_idx.reshape(QT // 128, 128)
+    dist_ref[:, :] = win[:, 0].reshape(QT // 128, 128)
+
+    # select the winning lane's features: one-hot row-reduction per query
+    first_min = idx_cand == win_idx[:, None]
+    sel = first_min.astype(jnp.float32)  # exactly one 1 per row
+    for r in range(3):
+        b_ref[r, :] = jnp.sum(best_f[r] * sel, axis=1)
+    for r in range(9):
+        cov_ref[r, :] = jnp.sum(best_f[3 + r] * sel, axis=1)
+
+
+@partial(jax.jit, static_argnames=("q_tile", "t_chunk"))
+def nn1_gather_pallas(
+    query: jnp.ndarray,
+    target: jnp.ndarray,
+    target_covs: jnp.ndarray,
+    q_tile: int = 1024,
+    t_chunk: int = 256,
+):
+    """1-NN returning (idx, sqdist, B, cov_B) with the winner's
+    coordinates/covariance carried through the kernel — replaces the
+    ``tgt_pts[idx]`` and ``tgt_covs[idx]`` HBM gathers of the GICP
+    linearization (nano_gicp_impl.hpp:262-271) with VMEM-fold selects.
+
+    Experimental: enable in the GICP path with DDLO_FUSED_NN=1.
+    """
+    Q = query.shape[0]
+    Tn = target.shape[0]
+
+    def pad_to(x, m, fill):
+        pad = (-x.shape[0]) % m
+        if pad:
+            width = ((0, pad),) + ((0, 0),) * (x.ndim - 1)
+            x = jnp.pad(x, width, constant_values=fill)
+        return x
+
+    q = pad_to(query, q_tile, 0.0)
+    t = pad_to(target, t_chunk, 1.0e6)
+    tc = pad_to(target_covs.reshape(Tn, 9), t_chunk, 0.0)
+    Qp, Tp = q.shape[0], t.shape[0]
+
+    grid = (Qp // q_tile,)
+    rows = q_tile // 128
+    idx, dist, B, covB = pl.pallas_call(
+        partial(_nn1_gather_kernel, t_chunk=t_chunk),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((3, q_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, Tp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((9, Tp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((rows, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, q_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((9, q_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Qp // 128, 128), jnp.int32),
+            jax.ShapeDtypeStruct((Qp // 128, 128), jnp.float32),
+            jax.ShapeDtypeStruct((3, Qp), jnp.float32),
+            jax.ShapeDtypeStruct((9, Qp), jnp.float32),
+        ],
+    )(q.T, t.T, tc.T)
+
+    idx = jnp.minimum(idx.reshape(-1)[:Q], Tn - 1)
+    sqd = dist.reshape(-1)[:Q]
+    B = B.T[:Q]
+    covB = covB.T[:Q].reshape(Q, 3, 3)
+    return idx, sqd, B, covB
+
+
 def _nn_classes_kernel(qt_ref, tt_ref, idx_ref, dist_ref, *, t_chunk: int):
     """Like :func:`_nn1_kernel` but emits the full per-lane-class running
     minima (class = target index mod 128) instead of the final argmin:

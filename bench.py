@@ -8,17 +8,135 @@ submap -> S2M GICP -> residuals -> range-image segmentation -> tracking
 -> keyframe update) on DOALS-scale 64x2048 organized scans and reports
 steps/second, vs_baseline = value / 10.
 
-Prints exactly one JSON line.
+Prints exactly one JSON line (on stdout; everything else goes to stderr).
+
+Relay hardening: the TPU is reached through a relay that intermittently
+hangs (even ``jax.jit(lambda x: x)`` can block for minutes-to-hours), so
+the parent process (1) probes the relay in a killable subprocess with a
+timeout, retrying with backoff, (2) runs the timed bench itself in a
+watchdog-guarded subprocess, and (3) caches the last good result in
+``.bench_cache.json`` so a relay outage degrades to a clearly-marked
+stale reprint instead of an empty failure.
 """
 
-import dataclasses
 import json
+import os
+import subprocess
+import sys
 import time
 
-import numpy as np
+REPO = os.path.dirname(os.path.abspath(__file__))
+CACHE = os.path.join(REPO, ".bench_cache.json")
+
+PROBE_SRC = r"""
+import jax, jax.numpy as jnp
+x = jax.jit(lambda x: x * 2.0)(jnp.ones((128, 128)))
+x.block_until_ready()
+print("PROBE_OK", [d.platform for d in jax.devices()])
+"""
 
 
-def main():
+def _log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def probe_relay(timeout_s=60.0):
+    """True iff a trivial jit executes on the default backend in time."""
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", PROBE_SRC],
+            cwd=REPO, timeout=timeout_s,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        )
+    except subprocess.TimeoutExpired:
+        return False, "probe timed out"
+    if r.returncode == 0 and "PROBE_OK" in r.stdout:
+        return True, r.stdout.strip().splitlines()[-1]
+    return False, (r.stderr or r.stdout).strip()[-400:]
+
+
+def run_bench_child(timeout_s=1500.0):
+    """Run the timed bench in a subprocess; returns parsed JSON or None.
+
+    First full-pipeline TPU compile is ~1-2 min; the generous timeout
+    covers a cold persistent-compile-cache plus the timed loop.
+    """
+    try:
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--run"],
+            cwd=REPO, timeout=timeout_s,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        )
+    except subprocess.TimeoutExpired:
+        return None, "bench child timed out"
+    if r.returncode != 0:
+        return None, (r.stderr or r.stdout).strip()[-800:]
+    for line in reversed(r.stdout.strip().splitlines()):
+        try:
+            obj = json.loads(line)
+            if isinstance(obj, dict) and "metric" in obj:
+                return obj, None
+        except json.JSONDecodeError:
+            continue
+    return None, "no JSON line in child output"
+
+
+def orchestrate():
+    # probe with backoff: ~8 attempts over ~6 minutes before giving up
+    delays = [0, 10, 20, 30, 45, 60, 90, 120]
+    relay_up = False
+    for i, d in enumerate(delays):
+        if d:
+            _log(f"[bench] relay down, retry {i}/{len(delays) - 1} in {d}s")
+            time.sleep(d)
+        ok, info = probe_relay(timeout_s=60.0)
+        _log(f"[bench] probe: {info}")
+        if ok:
+            relay_up = True
+            break
+
+    if relay_up:
+        # two attempts at the real bench (a hang mid-run is killable)
+        for attempt in range(2):
+            result, err = run_bench_child()
+            if result is not None:
+                try:
+                    with open(CACHE, "w") as f:
+                        json.dump({"at": time.time(), "result": result}, f)
+                except OSError:
+                    pass
+                print(json.dumps(result))
+                return 0
+            _log(f"[bench] child attempt {attempt + 1} failed: {err}")
+
+    # relay (or bench) unavailable: reprint last good result, marked stale
+    if os.path.exists(CACHE):
+        try:
+            with open(CACHE) as f:
+                cached = json.load(f)
+            result = dict(cached["result"])
+            result["stale_cached_result"] = True
+            result["cached_age_hours"] = round(
+                (time.time() - cached["at"]) / 3600.0, 1
+            )
+            _log("[bench] relay unavailable; reprinting cached result")
+            print(json.dumps(result))
+            return 0
+        except (OSError, KeyError, json.JSONDecodeError):
+            pass
+    print(json.dumps({
+        "metric": "ddlo_pipeline_rate", "value": 0.0,
+        "unit": "Hz (64x2048 scans/s, full dynamic pipeline, 1 chip)",
+        "vs_baseline": 0.0, "error": "tpu relay unavailable",
+    }))
+    return 1
+
+
+def run_timed():
+    """The actual measurement (runs in the watchdog-guarded child)."""
+    import dataclasses
+
+    import numpy as np
     import jax
 
     # persistent compile cache: repeat bench runs skip the ~1-2 min
@@ -27,6 +145,7 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
     import jax.numpy as jnp
 
+    sys.path.insert(0, REPO)
     from dynamic_direct_lidar_odometry_tpu import config as cfg_lib
     from dynamic_direct_lidar_odometry_tpu import pipeline
     from dynamic_direct_lidar_odometry_tpu.io import synthetic
@@ -94,4 +213,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--run" in sys.argv:
+        run_timed()
+    else:
+        sys.exit(orchestrate())

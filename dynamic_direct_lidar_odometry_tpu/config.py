@@ -131,6 +131,12 @@ class DetectionConfig:
     max_dim_ratio: float = 7.0
     residuum_height_ratio: float = 0.1
     dilate_kernel_size: int = 2
+    # Residual-image scatter layout: "lidar" = panoramic row-major grid,
+    # "camera" = the fork's square organized depth-image grid
+    # (odom.cc:804-827). Explicit, so a square spinning-LiDAR config cannot
+    # silently pick the camera grid (it used to be inferred from rows ==
+    # columns).
+    residual_grid: str = "lidar"
     # Optional segmentation window (the fork hardcodes rows/cols 156..356 for
     # its 512x512 Azure Kinect clouds, detection.cpp:514-516,569-571).
     # ``None`` = full image (upstream behavior).
@@ -199,6 +205,7 @@ class DDLOConfig:
     # evaluation dumps (odomNode/evaluation/*, detection.cpp:114-116,936-954)
     evaluate: bool = False
     evaluation_dir: str = ""
+    evaluation_cfg_path: str = ""
     # NEW vs reference: seed S2S with the previous scan-to-scan increment
     # (constant-velocity motion model) instead of identity — stabilizes
     # high angular rates; off by default for reference parity
@@ -265,6 +272,7 @@ def config_from_dict(raw: Mapping[str, Any], **overrides: Any) -> DDLOConfig:
         child_frame=g("childFrame", "base_link"),
         evaluate=g("odomNode/evaluation/evaluate", False),
         evaluation_dir=g("odomNode/evaluation/dir", ""),
+        evaluation_cfg_path=g("odomNode/evaluation/cfgPath", ""),
         preprocessing=PreprocessingConfig(
             downsampling=DownsamplingConfig(
                 use=g("odomNode/preprocessing/downsampling/use", False),
@@ -319,6 +327,15 @@ def config_from_dict(raw: Mapping[str, Any], **overrides: Any) -> DDLOConfig:
             max_dim_ratio=g("odomNode/detection/maxDimRatio", 7.0),
             residuum_height_ratio=g("odomNode/detection/residuumHeightRatio", 0.1),
             dilate_kernel_size=g("odomNode/detection/dilateKernelSize", 2),
+            # reference YAMLs have no such key (the fork hardcodes the
+            # 512x512 camera path); default by the fork's square-image rule
+            residual_grid=g(
+                "odomNode/detection/residualGrid",
+                "camera"
+                if g("odomNode/detection/rows", 128)
+                == g("odomNode/detection/columns", 1024)
+                else "lidar",
+            ),
         ),
         tracking=TrackingConfig(
             max_no_hits=g("odomNode/tracking/maxNoHits", 5),
@@ -431,6 +448,7 @@ def doals_config(**overrides: Any) -> DDLOConfig:
                 "maxElevation": 2.0,
                 "maxDimRatio": 7,
                 "residuumHeightRatio": 0.1,
+                "residualGrid": "lidar",
             },
             "tracking": {
                 "maxNoHits": 10,
@@ -502,6 +520,7 @@ def kantplatz_config(**overrides: Any) -> DDLOConfig:
                 "maxElevation": 8.0,
                 "maxDimRatio": 10,
                 "residuumHeightRatio": 0.3,
+                "residualGrid": "camera",
             },
             "tracking": {
                 "maxNoHits": 30,

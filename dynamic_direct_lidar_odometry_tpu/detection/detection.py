@@ -82,7 +82,7 @@ def detect(
         H,
         W,
         ang_bottom=det.ang_bottom,
-        grid="camera" if not _is_lidar(cfg) else "lidar",
+        grid=det.residual_grid,
     )
 
     g = segmentation.ground_removal(
@@ -153,7 +153,3 @@ def detect(
     )
 
 
-def _is_lidar(cfg: DDLOConfig) -> bool:
-    """Camera-grid residual scatter for the fork's square depth-image mode
-    (odom.cc:804-827); LiDAR grid otherwise."""
-    return cfg.detection.columns != cfg.detection.rows

@@ -103,6 +103,14 @@ def add_keyframe(
     )
 
 
+def overflow_count(store: KeyframeStore) -> jnp.ndarray:
+    """How many keyframes were accepted past capacity (each silently
+    overwrote the last slot, so the submap stopped growing). Non-zero
+    means ``max_keyframes`` is undersized for the sweep — saturation
+    telemetry surfaced by the replay driver."""
+    return jnp.maximum(store.count - store.capacity, 0)
+
+
 # ---------------------------------------------------------------------------
 # Hull membership (approximations, see module docstring)
 # ---------------------------------------------------------------------------

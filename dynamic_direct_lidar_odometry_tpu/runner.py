@@ -10,16 +10,26 @@ transition:
              map    -= clear_map boxes (tracker feedback)      [device]
              pose row -> PoseRecorder, bboxes -> ObjectTrajectories [host]
 
-plus the aux subsystems the reference exposes: per-stage profiling
-(odom.cc:189-192), evaluation dumps of per-frame dynamic indices + poses
-(detection.cpp:936-954), checkpoint/resume (new), and end-of-run map
-save via the save_pcd equivalent (map.cc:158-189).
+Host bookkeeping is applied ONE SCAN LATE: scan ``i``'s step is
+dispatched (asynchronously) first, then scan ``i-1``'s host-side reads
+block while scan ``i`` computes on device. This is the TPU equivalent of
+the reference's detached publish/metrics threads (odom.cc:718-726) — the
+device never idles waiting for host bookkeeping, and the host never
+blocks the next dispatch.
+
+Aux subsystems the reference exposes are all here: per-stage profiling
+(odom.cc:189-192), reference-format evaluation dumps (timestamped dir +
+cfg.yaml + %04d.txt indices + poses.txt, detection.cpp:910-954),
+checkpoint/resume (new), and end-of-run map save via the save_pcd
+equivalent (map.cc:158-189).
 """
 
 from __future__ import annotations
 
 import dataclasses
 import os
+import sys
+import time
 from typing import Optional
 
 import numpy as np
@@ -30,8 +40,10 @@ from dynamic_direct_lidar_odometry_tpu.config import DDLOConfig
 from dynamic_direct_lidar_odometry_tpu.io import pcd as pcd_io
 from dynamic_direct_lidar_odometry_tpu.io.dataset import ScanSequence
 from dynamic_direct_lidar_odometry_tpu.mapping import mapper
+from dynamic_direct_lidar_odometry_tpu.odometry import keyframes
 from dynamic_direct_lidar_odometry_tpu.tracking.tracker import DYNAMIC
 from dynamic_direct_lidar_odometry_tpu.utils import checkpoint as ckpt
+from dynamic_direct_lidar_odometry_tpu.utils import evaldump
 from dynamic_direct_lidar_odometry_tpu.utils import profiling, trajectory
 
 
@@ -49,6 +61,7 @@ class ReplayResult:
     dynamic_counts: np.ndarray  # (S,) dynamic pixels per scan
     final_state: pipeline.DDLOState
     map_state: mapper.MapState
+    keyframe_overflow: int = 0  # keyframes accepted past store capacity
 
 
 def replay(
@@ -72,6 +85,13 @@ def replay(
             out_dir = cfg.evaluation_dir
     if out_dir:
         os.makedirs(out_dir, exist_ok=True)
+    eval_dump = None
+    if evaluate and out_dir:
+        # reference-format dump session: timestamped dir + cfg.yaml copy
+        # (detection.cpp:911-934)
+        eval_dump = evaldump.EvalDump(
+            out_dir, cfg.evaluation_cfg_path or None
+        )
 
     prof = profiling.Profiler()
     pose_rec = trajectory.PoseRecorder()
@@ -107,30 +127,25 @@ def replay(
 
     poses, quats, dyn_counts, stamps_kept = [], [], [], []
     dropped = 0
-    for i in range(start, len(seq)):
-        # low-return scan drop (odom.cc:635-639: "Low number of points!")
-        if int(seq.mask[i].sum()) < cfg.gicp.min_num_points:
-            dropped += 1
-            continue
-        pts = jnp.asarray(seq.points[i])
-        msk = jnp.asarray(seq.mask[i])
-        ts = jnp.float32(seq.stamps[i])
+    n_scans = len(seq)
 
-        prev_state = state
-        with prof.stage("total") as h:
-            state, out = pipeline.step(cfg, state, pts, msk, ts)
-            h.value = out
+    def finalize(p) -> bool:
+        """Host + map bookkeeping for an already-dispatched scan. The
+        blocking device reads here overlap with the NEXT scan's compute.
+        Returns False if the scan's pose went non-finite (caller rolls
+        back)."""
+        nonlocal map_state, dropped
+        i, out, st = p["i"], p["out"], p["state"]
 
         # NaN watchdog (new vs the reference, which has no failure
         # detection, SURVEY.md §5): a non-finite pose would poison every
-        # later scan — drop this scan and keep the last good state
-        if not bool(jnp.all(jnp.isfinite(out.odom.T))):
-            state = prev_state
-            dropped += 1
-            continue
+        # later scan — roll back to the last good state
+        T_np = np.asarray(out.odom.T)
+        if not np.all(np.isfinite(T_np)):
+            return False
 
         # ---- map node feedback loop (map.cc:101-156) ----
-        if bool(out.keyframe_added):
+        if bool(np.asarray(out.keyframe_added)):
             map_state = mapper.add_keyframe(
                 map_state,
                 out.new_keyframe_points,
@@ -139,12 +154,12 @@ def replay(
                 use_voxel_filter=cfg.map.use_voxel_filter,
             )
         if cfg.map.filter_bbox_history:
-            cm_valid = out.tracks.clear_map_valid
-            if bool(jnp.any(cm_valid)):
+            cm_valid = np.asarray(out.tracks.clear_map_valid)
+            if cm_valid.any():
                 map_state = mapper.remove_boxes(
                     map_state,
                     out.tracks.clear_map_boxes,
-                    cm_valid,
+                    out.tracks.clear_map_valid,
                     margin=cfg.map.filter_margin,
                 )
 
@@ -153,16 +168,17 @@ def replay(
         quat = np.asarray(out.odom.rotq)
         poses.append(pose)
         quats.append(quat)
-        stamps_kept.append(float(seq.stamps[i]))
-        pose_rec.append(float(seq.stamps[i]), pose, quat)
-        trk = state.tracks
+        stamps_kept.append(p["stamp"])
+        pose_rec.append(p["stamp"], pose, quat)
+        trk = st.tracks
         obj_trajs.update(
             trk.filter_id,
             trk.obj_state,
             np.asarray(trk.active) & (np.asarray(trk.status) == DYNAMIC),
-            float(seq.stamps[i]),
+            p["stamp"],
         )
-        n_dyn = int(jnp.sum(out.dynamic_mask))
+        dyn_np = np.asarray(out.dynamic_mask)
+        n_dyn = int(dyn_np.sum())
         dyn_counts.append(n_dyn)
 
         if viz_every and out_dir and i % viz_every == 0:
@@ -178,37 +194,88 @@ def replay(
                 dilate_kernel_size=cfg.detection.dilate_kernel_size,
             )
 
-        if evaluate and out_dir:
-            # reference evaluation dump: per-frame dynamic indices + pose
-            # (detection.cpp:936-954)
-            idx = np.nonzero(np.asarray(out.dynamic_mask))[0]
-            np.savetxt(
-                os.path.join(out_dir, f"indices_{i:06d}.txt"),
-                idx, fmt="%d",
-            )
+        if eval_dump is not None:
+            # reference evaluation dump (detection.cpp:936-952):
+            # %04d.txt dynamic indices + poses.txt nsec/4x4 append
+            eval_dump.frame(i, np.nonzero(dyn_np)[0], p["stamp"], T_np)
 
         if checkpoint_every and out_dir and i % checkpoint_every == 0:
             ckpt.save(
                 os.path.join(out_dir, f"ckpt_{i:06d}.npz"),
-                (state, map_state),
+                (st, map_state),
                 meta={"next_scan": i + 1},
             )
 
         if progress:
             print(
-                f"scan {i}/{len(seq) - 1} pose=({pose[0]:+.2f}, "
+                f"scan {i}/{n_scans - 1} pose=({pose[0]:+.2f}, "
                 f"{pose[1]:+.2f}, {pose[2]:+.2f}) dyn_px={n_dyn}"
             )
         if dashboard_every and i % dashboard_every == 0:
             print(
                 debug_dashboard(
-                    prof, i, len(seq), pose, quat,
-                    int(jnp.sum(state.odom.store.valid)),
+                    prof, i, n_scans, pose, quat,
+                    int(np.asarray(st.odom.store.valid).sum()),
                     int(mapper.num_points(map_state)),
-                    int(jnp.sum(state.tracks.active)),
+                    int(np.asarray(st.tracks.active).sum()),
                     n_dyn,
                 )
             )
+        return True
+
+    pending = None  # scan whose bookkeeping is deferred one iteration
+    last_t = None
+    for i in range(start, n_scans):
+        # low-return scan drop (odom.cc:635-639: "Low number of points!")
+        if int(seq.mask[i].sum()) < cfg.gicp.min_num_points:
+            dropped += 1
+            continue
+        pts = jnp.asarray(seq.points[i])
+        msk = jnp.asarray(seq.mask[i])
+        ts = jnp.float32(seq.stamps[i])
+
+        # per-scan wall time, dispatch-to-dispatch: in the pipelined loop
+        # this covers device compute + overlapped host bookkeeping — the
+        # honest per-scan cost (reference's "total" accumulator,
+        # odom.cc:617-618,715)
+        now = time.perf_counter()
+        if last_t is not None:
+            prof["total"].add((now - last_t) * 1e3)
+        last_t = now
+
+        prev_state = state
+        with profiling.jax_annotation("total"):
+            state, out = pipeline.step(cfg, state, pts, msk, ts)
+
+        if pending is not None and not finalize(pending):
+            # pending scan's pose was non-finite: restore the state from
+            # before it and discard the in-flight step built on top of it
+            state = pending["prev_state"]
+            dropped += 2
+            pending = None
+            last_t = None
+            continue
+        pending = {
+            "i": i, "out": out, "state": state,
+            "prev_state": prev_state, "stamp": float(seq.stamps[i]),
+        }
+    if pending is not None:
+        if not finalize(pending):
+            state = pending["prev_state"]
+            dropped += 1
+        if last_t is not None:
+            prof["total"].add((time.perf_counter() - last_t) * 1e3)
+
+    # keyframe-store saturation telemetry (the store overwrites its last
+    # slot once full — silent in round 1, now surfaced)
+    kf_overflow = int(np.asarray(keyframes.overflow_count(state.odom.store)))
+    if kf_overflow > 0:
+        print(
+            f"[ddlo] WARNING: keyframe store saturated — {kf_overflow} "
+            "keyframes overwrote the last slot; raise "
+            "capacity.max_keyframes for this sweep",
+            file=sys.stderr,
+        )
 
     if out_dir:
         pose_rec.save(os.path.join(out_dir, "trajectory_tum.txt"))
@@ -234,6 +301,7 @@ def replay(
         dynamic_counts=np.asarray(dyn_counts),
         final_state=state,
         map_state=map_state,
+        keyframe_overflow=kf_overflow,
     )
 
 

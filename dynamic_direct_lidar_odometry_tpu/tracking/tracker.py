@@ -213,8 +213,6 @@ def update(
     want_rank = jnp.cumsum(unmatched.astype(jnp.int32)) - 1  # per det
     n_free = jnp.sum(free.astype(jnp.int32))
     spawn_det = unmatched & (want_rank < n_free)
-    # slot index for each spawning detection: the (want_rank)-th free slot
-    free_slots = jnp.argsort(jnp.where(free, free_rank, T + 1))[: 1]  # dummy
     # build mapping: for each slot, which det spawns here
     slot_order = jnp.argsort(jnp.where(free, 0, 1), stable=True)  # free first
     det_order = jnp.argsort(jnp.where(spawn_det, 0, 1), stable=True)

@@ -119,6 +119,13 @@ class Profiler:
         return "\n".join(lines)
 
 
+def jax_annotation(name: str):
+    """A bare jax.profiler TraceAnnotation (stage label on the device
+    timeline) without the wall-clock accumulator — for pipelined loops
+    that time dispatch-to-dispatch instead of blocking per scan."""
+    return jax.profiler.TraceAnnotation(name)
+
+
 class _Holder:
     """`with prof.stage(..) as h: h.value = out` to block on device work."""
 

@@ -59,8 +59,8 @@ def small_kantplatz():
 def test_kantplatz_pipeline_runs_square_image():
     cfg = small_kantplatz()
     H, W = cfg.detection.rows, cfg.detection.columns
-    # square image -> the residual scatter uses the fork's camera grid
-    assert not detection._is_lidar(cfg) is None
+    # the kantplatz preset selects the fork's camera residual grid
+    assert cfg.detection.residual_grid == "camera"
     world = synthetic.World.town(seed=11, n_static=8)
     rng = np.random.default_rng(0)
     T = np.eye(4)

@@ -71,8 +71,19 @@ def test_replay_end_to_end(tmp_path):
     assert len(pts) == res.map_points or len(pts) > 0
     arr = np.loadtxt(os.path.join(out, "trajectory_tum.txt"))
     assert arr.shape == (len(seq) - 1, 8)
-    # evaluation dumps (reference detection.cpp:936-954 format)
-    assert os.path.exists(os.path.join(out, "indices_000001.txt"))
+    # evaluation dumps (reference detection.cpp:910-954 format):
+    # timestamped session dir containing %04d.txt + poses.txt
+    sessions = [
+        d for d in os.listdir(out)
+        if os.path.isdir(os.path.join(out, d)) and d[:2] == "20"
+    ]
+    assert len(sessions) == 1
+    sess = os.path.join(out, sessions[0])
+    assert os.path.exists(os.path.join(sess, "0001.txt"))
+    with open(os.path.join(sess, "poses.txt")) as f:
+        poses_txt = f.read()
+    # one block per scan: nsec line + 4 matrix rows ending in ";"
+    assert poses_txt.count(";") == len(seq) - 1
     assert res.profiler["total"].n == len(seq) - 1
 
 

@@ -62,18 +62,16 @@ def plane_covariances(points: np.ndarray, k: int) -> np.ndarray:
 
     Neighborhoods of size k (self included, as the query point is a cloud
     member), covariance normalized by k, SVD singular values replaced by
-    (1, 1, 1e-3)."""
+    (1, 1, 1e-3). Batched over points (float64 throughout — summation
+    order differences vs the reference's sequential loop are ~1e-15)."""
     pts32 = np.asarray(points, dtype=np.float32)
     tree = cKDTree(pts32)
     _, idx = tree.query(pts32, k=k)
-    covs = np.empty((len(pts32), 3, 3), dtype=np.float64)
-    for i in range(len(pts32)):
-        neigh = pts32[idx[i]].astype(np.float64)  # (k, 3)
-        neigh -= neigh.mean(axis=0)
-        cov = neigh.T @ neigh / k
-        U, _, Vt = np.linalg.svd(cov)
-        covs[i] = U @ np.diag([1.0, 1.0, 1e-3]) @ Vt
-    return covs
+    neigh = pts32[idx].astype(np.float64)  # (N, k, 3)
+    neigh -= neigh.mean(axis=1, keepdims=True)
+    cov = np.einsum("nki,nkj->nij", neigh, neigh) / k
+    U, _, Vt = np.linalg.svd(cov)
+    return np.einsum("nij,j,njk->nik", U, np.array([1.0, 1.0, 1e-3]), Vt)
 
 
 @dataclasses.dataclass
@@ -124,41 +122,55 @@ class OracleGICP:
         corr = np.where(sqd < thresh, idx, -1)
         # mahalanobis = inv(cov_B + T cov_A T^T) per valid pair (:261-267)
         R = T[:3, :3]
+        valid = corr >= 0
         M = np.zeros((len(self.src64), 3, 3), dtype=np.float64)
-        for i in np.nonzero(corr >= 0)[0]:
-            RCR = self.tgt_covs[corr[i]] + R @ self.src_covs[i] @ R.T
-            M[i] = np.linalg.inv(RCR)
+        if valid.any():
+            RCR = (
+                self.tgt_covs[corr[valid]]
+                + np.einsum("ij,njk,lk->nil", R, self.src_covs[valid], R)
+            )
+            M[valid] = np.linalg.inv(RCR)
         return corr, M
 
     # -- linearize (nano_gicp_impl.hpp:278-342) ---------------------------
     def _linearize(self, T: np.ndarray):
         corr, M = self._correspondences(T)
-        H = np.zeros((6, 6))
-        b = np.zeros(6)
-        y = 0.0
         R, t = T[:3, :3], T[:3, 3]
-        for i in np.nonzero(corr >= 0)[0]:
-            a = self.src64[i]
-            bb = self.tgt64[corr[i]]
-            ta = R @ a + t
-            e = bb - ta
-            y += e @ M[i] @ e
-            J = np.concatenate([skew(ta), -np.eye(3)], axis=1)  # (3, 6)
-            MJ = M[i] @ J
-            H += J.T @ MJ
-            b += J.T @ (M[i] @ e)
+        v = corr >= 0
+        if not v.any():
+            return 0.0, np.zeros((6, 6)), np.zeros(6), (corr, M)
+        a = self.src64[v]
+        bb = self.tgt64[corr[v]]
+        Mv = M[v]
+        ta = a @ R.T + t  # (n, 3) transed_mean_A
+        e = bb - ta
+        Me = np.einsum("nij,nj->ni", Mv, e)
+        y = float(np.einsum("ni,ni->", e, Me))
+        # J = [skew(T a) | -I] per point (:320-325)
+        n = len(a)
+        J = np.zeros((n, 3, 6))
+        J[:, 0, 1] = -ta[:, 2]
+        J[:, 0, 2] = ta[:, 1]
+        J[:, 1, 0] = ta[:, 2]
+        J[:, 1, 2] = -ta[:, 0]
+        J[:, 2, 0] = -ta[:, 1]
+        J[:, 2, 1] = ta[:, 0]
+        J[:, :3, 3:] = -np.eye(3)
+        MJ = np.einsum("nij,njk->nik", Mv, J)
+        H = np.einsum("nji,njk->ik", J, MJ)
+        b = np.einsum("nji,nj->i", J, Me)
         return y, H, b, (corr, M)
 
     # -- compute_error (nano_gicp_impl.hpp:345-371): correspondences and
     # mahalanobis frozen from the last linearize --------------------------
     def _error(self, T: np.ndarray, aux) -> float:
         corr, M = aux
-        y = 0.0
+        v = corr >= 0
+        if not v.any():
+            return 0.0
         R, t = T[:3, :3], T[:3, 3]
-        for i in np.nonzero(corr >= 0)[0]:
-            e = self.tgt64[corr[i]] - (R @ self.src64[i] + t)
-            y += e @ M[i] @ e
-        return y
+        e = self.tgt64[corr[v]] - (self.src64[v] @ R.T + t)
+        return float(np.einsum("ni,nij,nj->", e, M[v], e))
 
     def _is_converged(self, delta: np.ndarray) -> bool:
         """lsq_registration_impl.hpp:129-139."""

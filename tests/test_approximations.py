@@ -1,0 +1,244 @@
+"""Quantified error bounds for the documented TPU-native approximations.
+
+Round-1 shipped three deliberate deviations from the reference with
+argued-but-unmeasured error models; these tests measure them against
+exact oracles and pin the bounds:
+
+1. convex_hull_mask (directional extremality) vs scipy.spatial.ConvexHull
+   — exact qhull, what pcl::ConvexHull computes (odom.cc:993-1028).
+2. Submap membership (select_submap with both hull approximations) vs an
+   exact-hull oracle — the only consumer of the hull sets, target >= 95%
+   member agreement (VERDICT.md item 6).
+3. knn_approx_pallas neighborhoods vs exact k-NN at 16k-point scale,
+   measured where it matters: drift of the PLANE-regularized covariance
+   (equivalently the surface normal) that feeds GICP.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from scipy.spatial import ConvexHull, Delaunay
+
+from dynamic_direct_lidar_odometry_tpu.odometry import keyframes as kf
+from dynamic_direct_lidar_odometry_tpu.ops import covariance
+from dynamic_direct_lidar_odometry_tpu.ops import knn as knn_ops
+
+
+def random_trajectory_positions(K, seed, scale=25.0):
+    """Keyframe positions along a smooth random walk — the distribution
+    select_submap actually sees (keyframes are ~threshD apart)."""
+    rng = np.random.default_rng(seed)
+    steps = rng.normal(0, 1.0, (K, 3))
+    steps[:, 2] *= 0.1  # mostly-planar like a ground robot
+    heading = np.cumsum(rng.normal(0, 0.3, K))
+    steps[:, 0] += 2.0 * np.cos(heading)
+    steps[:, 1] += 2.0 * np.sin(heading)
+    pos = np.cumsum(steps, axis=0)
+    return (scale * pos / (np.abs(pos).max() + 1e-9)).astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# 1. convex hull approximation vs qhull
+# ---------------------------------------------------------------------------
+
+
+def test_exact_hull_masks_vs_oracles():
+    """The host-exact path (keyframes.exact_hull_masks) must agree with
+    the independent scipy oracles here (qhull vertices; Delaunay alpha
+    shape)."""
+    for seed in range(10):
+        K = 40
+        pos = random_trajectory_positions(K, seed)
+        valid = np.ones(K, bool)
+        cv, cc = kf.exact_hull_masks(pos, valid, alpha=5.0)
+        tv = np.zeros(K, bool)
+        tv[ConvexHull(pos.astype(np.float64)).vertices] = True
+        np.testing.assert_array_equal(cv, tv)
+        np.testing.assert_array_equal(
+            cc, _alpha_shape_boundary(pos[:, :2], 5.0)
+        )
+    # reference early-return sizes: empty below 4 / 5 keyframes
+    cv, cc = kf.exact_hull_masks(pos[:3], np.ones(3, bool), alpha=5.0)
+    assert not cv.any() and not cc.any()
+    cv, cc = kf.exact_hull_masks(pos[:4], np.ones(4, bool), alpha=5.0)
+    assert cv.any() and not cc.any()
+
+
+def test_convex_hull_mask_fallback_bounds():
+    """The on-device approximation (used only when no host is in the
+    loop): selects ONLY true hull vertices, with documented partial
+    recall on trajectory-like sets (see keyframes.py docstring)."""
+    precisions, recalls = [], []
+    for seed in range(20):
+        pos = random_trajectory_positions(40, seed)
+        valid = np.ones(40, bool)
+        ours = np.asarray(
+            kf.convex_hull_mask(jnp.asarray(pos), jnp.asarray(valid))
+        )
+        true_vertices = np.zeros(40, bool)
+        true_vertices[ConvexHull(pos.astype(np.float64)).vertices] = True
+        tp = np.sum(ours & true_vertices)
+        precisions.append(tp / max(ours.sum(), 1))
+        recalls.append(tp / max(true_vertices.sum(), 1))
+    # directional extremality only ever selects true hull vertices
+    assert np.mean(precisions) > 0.999, np.mean(precisions)
+    # measured recall floor (regression guard, not a quality claim)
+    assert np.mean(recalls) > 0.2, np.mean(recalls)
+
+
+# ---------------------------------------------------------------------------
+# 2. submap membership agreement vs exact hulls
+# ---------------------------------------------------------------------------
+
+
+def _alpha_shape_boundary(pos_xy: np.ndarray, alpha: float) -> np.ndarray:
+    """Exact 2D alpha-shape boundary points (the pcl::ConcaveHull model,
+    odom.cc:1030-1065): Delaunay triangles with circumradius <= alpha are
+    kept; boundary = endpoints of edges on exactly one kept triangle;
+    points in no kept triangle are isolated boundary points."""
+    K = len(pos_xy)
+    out = np.zeros(K, bool)
+    if K < 4:
+        out[:] = True
+        return out
+    tri = Delaunay(pos_xy.astype(np.float64))
+    kept = []
+    for simplex in tri.simplices:
+        a, b, c = pos_xy[simplex]
+        la, lb, lc = (
+            np.linalg.norm(b - c), np.linalg.norm(a - c),
+            np.linalg.norm(a - b),
+        )
+        area = abs(np.cross(b - a, c - a)) / 2.0
+        R = (la * lb * lc) / (4.0 * area) if area > 1e-12 else np.inf
+        if R <= alpha:
+            kept.append(simplex)
+    edge_count = {}
+    in_kept = np.zeros(K, bool)
+    for s in kept:
+        in_kept[s] = True
+        for e in [(s[0], s[1]), (s[1], s[2]), (s[0], s[2])]:
+            e = tuple(sorted(e))
+            edge_count[e] = edge_count.get(e, 0) + 1
+    for e, c in edge_count.items():
+        if c == 1:
+            out[e[0]] = out[e[1]] = True
+    out |= ~in_kept  # isolated points are their own boundary
+    return out
+
+
+def _top_k_ties_np(ds, eligible, k):
+    d = np.where(eligible, ds, np.inf)
+    if eligible.sum() == 0:
+        return np.zeros_like(eligible)
+    kth = np.sort(d)[min(k, len(d)) - 1]
+    return eligible & (d <= kth)
+
+
+def test_submap_member_agreement():
+    """Submap membership vs the exact union rule over random
+    trajectories. The host-exact path (what replay uses) must hit 100%;
+    the device-fallback path has a measured, documented floor."""
+    knn, kcv, kcc = 10, 10, 10
+    alpha = 5.0
+    j_exact, j_fallback = [], []
+    for seed in range(25):
+        K = 48
+        pos = random_trajectory_positions(K, 100 + seed)
+        valid = np.ones(K, bool)
+        store = kf.empty_store(K, 4)._replace(
+            positions=jnp.asarray(pos), valid=jnp.asarray(valid),
+            count=jnp.int32(K),
+        )
+        cur = pos[-1] + np.array([1.0, 0.5, 0.0], np.float32)
+
+        ds = np.linalg.norm(pos - cur, axis=1)
+        cv = np.zeros(K, bool)
+        cv[ConvexHull(pos.astype(np.float64)).vertices] = True
+        cc = _alpha_shape_boundary(pos[:, :2], alpha)
+        exact = (
+            _top_k_ties_np(ds, valid, knn)
+            | _top_k_ties_np(ds, cv, kcv)
+            | _top_k_ties_np(ds, cc, kcc)
+        )
+
+        cv_m, cc_m = kf.exact_hull_masks(pos, valid, alpha)
+        ours_exact = np.asarray(kf.select_submap(
+            store, jnp.asarray(cur), jnp.float32(alpha), knn, kcv, kcc,
+            cv_mask=jnp.asarray(cv_m), cc_mask=jnp.asarray(cc_m),
+        ))
+        ours_fb = np.asarray(kf.select_submap(
+            store, jnp.asarray(cur), jnp.float32(alpha), knn, kcv, kcc
+        ))
+
+        def jacc(a, b):
+            return np.sum(a & b) / max(np.sum(a | b), 1)
+
+        j_exact.append(jacc(ours_exact, exact))
+        j_fallback.append(jacc(ours_fb, exact))
+    # replay path: exact by construction (>= 95% VERDICT target, met
+    # with margin)
+    assert np.mean(j_exact) >= 0.999, np.mean(j_exact)
+    # device fallback: measured floor, regression guard
+    assert np.mean(j_fallback) >= 0.55, np.mean(j_fallback)
+
+
+# ---------------------------------------------------------------------------
+# 3. knn_approx_pallas covariance drift at 16k scale
+# ---------------------------------------------------------------------------
+
+
+def _covs_from_idx(pts: jnp.ndarray, idx: jnp.ndarray) -> np.ndarray:
+    neigh = pts[idx]
+    centered = neigh - neigh.mean(axis=1, keepdims=True)
+    cov = jnp.einsum("nki,nkj->nij", centered, centered) / idx.shape[1]
+    return np.asarray(covariance.regularize_plane(cov))
+
+
+@pytest.mark.slow
+def test_knn_approx_covariance_drift_16k():
+    """Statistical bound on the PLANE-covariance drift when neighborhoods
+    come from the 128-class approximate k-NN instead of exact k-NN, at
+    the scan scale the covariance estimator actually runs at."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from dynamic_direct_lidar_odometry_tpu.ops import nn_pallas
+
+    # structured surfaces (the regime the covariances model): two planes
+    # + a curved sheet, 16k points
+    rng = np.random.default_rng(0)
+    n = 16384 // 4
+    g = np.stack([rng.uniform(-20, 20, 2 * n), rng.uniform(-20, 20, 2 * n),
+                  0.03 * rng.standard_normal(2 * n)], 1)
+    w = np.stack([np.full(n, 8.0) + 0.03 * rng.standard_normal(n),
+                  rng.uniform(-20, 20, n), rng.uniform(0, 4, n)], 1)
+    xs = rng.uniform(-20, 20, n)
+    s = np.stack([xs, rng.uniform(-20, 20, n),
+                  2.0 + 0.8 * np.sin(0.4 * xs)], 1)
+    pts = jnp.asarray(np.concatenate([g, w, s]).astype(np.float32))
+    k = 20
+
+    idx_exact, _ = knn_ops.knn_best(pts, pts, k)
+    with pltpu.force_tpu_interpret_mode():
+        idx_apx, _ = nn_pallas.knn_approx_pallas(pts, pts, k)
+
+    # neighborhood overlap: how many of the true k neighbors survive.
+    # Measured at this scale/geometry: mean 0.93, 1st percentile 0.80.
+    overlap = np.array([
+        len(np.intersect1d(a, b)) for a, b in
+        zip(np.asarray(idx_exact), np.asarray(idx_apx))
+    ]) / k
+    assert overlap.mean() > 0.90, overlap.mean()
+    assert np.quantile(overlap, 0.01) >= 0.7, np.quantile(overlap, 0.01)
+
+    cov_e = _covs_from_idx(pts, idx_exact)
+    cov_a = _covs_from_idx(pts, jnp.asarray(idx_apx))
+    frob = np.linalg.norm(cov_e - cov_a, axis=(1, 2))
+    # PLANE covs are I - 0.999 n n^T, so ||dC||_F ~ sqrt(2)*sin(normal
+    # drift). Measured: median 0.011 (0.44 deg), mean 0.057 (2.5 deg),
+    # with a ~1% tail near surface intersections where the plane fit
+    # legitimately flips between the two adjacent sheets.
+    assert np.median(frob) < 0.02, np.median(frob)
+    assert frob.mean() < 0.1, frob.mean()
+    assert np.quantile(frob, 0.95) < 0.5, np.quantile(frob, 0.95)

@@ -157,13 +157,15 @@ def init_state(
     )
 
 
-@partial(jax.jit, static_argnames=("cfg",))
+@partial(jax.jit, static_argnames=("cfg", "axis_name", "pt_size"))
 def step(
     cfg: DDLOConfig,
     state: OdomState,
     raw_points: jnp.ndarray,
     raw_mask: jnp.ndarray,
     hull_masks: Tuple[jnp.ndarray, jnp.ndarray] | None = None,
+    axis_name: str | None = None,
+    pt_size: int = 1,
 ) -> Tuple[OdomState, OdomOutputs]:
     """One odometry step (plain DLO: dynamicDetection=false path of icpCB).
 
@@ -173,25 +175,53 @@ def step(
     ``hull_masks``: optional (convex, concave) EXACT hull membership masks
     over keyframe slots from :func:`keyframes.exact_hull_masks` (host);
     without them the device approximations select the submap.
+
+    ``axis_name``/``pt_size``: POINT-PARALLEL single-stream mode (under
+    ``shard_map`` over a ``pt`` mesh axis with the scan replicated): each
+    shard computes source covariances and GICP linearizations for a
+    1/pt_size slice of the preprocessed scan; the 6x6/6x1 normal
+    equations and errors are psum'd inside every LM iteration (the
+    collective analogue of the reference's per-thread OpenMP H/b
+    partials, nano_gicp_impl.hpp:284-339), and the per-point covariances
+    and S2M residuals are all-gathered back to full length. The hot
+    N_src x N_tgt NN sweeps drop pt_size-fold per chip.
     """
     # ---- preprocess + metrics (odom.cc:653-660) ----
     p = prep.preprocess(cfg, raw_points, raw_mask)
     spacious = 0.95 * state.spaciousness + 0.05 * p.spaciousness_median
     kf_thresh_d = prep.adaptive_keyframe_thresh(spacious)
 
-    # ---- source covariances, shared by S2S and S2M (odom.cc:765) ----
-    src_covs = covariance.plane_covariances(
-        p.points, p.mask, k=cfg.gicp.s2s.k_correspondences
-    )
+    N = p.points.shape[0]
+    if axis_name is not None:
+        if N % pt_size != 0:
+            raise ValueError(
+                f"max_points={N} must be divisible by pt_size={pt_size}"
+            )
+        chunk = N // pt_size
+        i0 = jax.lax.axis_index(axis_name) * chunk
+        q_pts = jax.lax.dynamic_slice_in_dim(p.points, i0, chunk)
+        q_msk = jax.lax.dynamic_slice_in_dim(p.mask, i0, chunk)
+        # shard-local covariances against the full scan, gathered to full
+        # length for the swap (next scan's S2S target needs all of them)
+        q_covs = covariance.plane_covariances(
+            q_pts, q_msk, k=cfg.gicp.s2s.k_correspondences,
+            neighbor_points=p.points,
+        )
+        src_covs = jax.lax.all_gather(q_covs, axis_name, tiled=True)
+        src = (q_pts, q_msk, q_covs)
+    else:
+        # ---- source covariances, shared by S2S and S2M (odom.cc:765) ----
+        src_covs = covariance.plane_covariances(
+            p.points, p.mask, k=cfg.gicp.s2s.k_correspondences
+        )
+        src = (p.points, p.mask, src_covs)
 
     # ---- scan-to-scan (odom.cc:754-762) ----
     # guess: identity like the reference, or the previous increment
     # (constant-velocity model) when cfg.initial_guess_motion
     s2s_guess = state.prev_rel if cfg.initial_guess_motion else jnp.eye(4)
     s2s = gicp.align(
-        p.points,
-        p.mask,
-        src_covs,
+        *src,
         state.prev_points,
         state.prev_mask,
         state.prev_covs,
@@ -199,6 +229,7 @@ def step(
         # the reference never exports S2S residuals (only gicp_s2m feeds
         # the residual image, odom.cc:792-793) — skip the extra NN sweep
         _settings(cfg.gicp.s2s, compute_residuals=False),
+        axis_name=axis_name,
     )
     T_s2s = se3.compose(state.T_s2s_prev, s2s.T)  # propagateS2S (odom.cc:921-939)
 
@@ -224,16 +255,20 @@ def step(
 
     # ---- scan-to-submap with S2S as guess (odom.cc:787-793) ----
     s2m = gicp.align(
-        p.points,
-        p.mask,
-        src_covs,
+        *src,
         sub_pts,
         sub_mask,
         sub_covs,
         T_s2s,
         _settings(cfg.gicp.s2m),
+        axis_name=axis_name,
     )
     T_new = s2m.T
+    residuals = s2m.residuals
+    if axis_name is not None:
+        # shard-local residual slices -> full scan (feeds the residual
+        # image projection downstream)
+        residuals = jax.lax.all_gather(residuals, axis_name, tiled=True)
     pose = T_new[:3, 3]
     rotq = se3.matrix_to_quat(T_new[:3, :3])
 
@@ -263,7 +298,7 @@ def step(
         T_s2s_rel=s2s.T,
         reg_points_world=reg_world,
         reg_mask=p.mask,
-        residuals=s2m.residuals,
+        residuals=residuals,
         new_keyframe=jnp.bool_(False),  # filled by update_keyframes
         s2s_converged=s2s.converged,
         s2m_converged=s2m.converged,

@@ -27,6 +27,7 @@ def plane_covariances(
     points: jnp.ndarray,
     mask: jnp.ndarray,
     k: int = 20,
+    neighbor_points: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Compute regularized (N, 3, 3) covariances for a masked cloud.
 
@@ -35,13 +36,18 @@ def plane_covariances(
       mask: (N,) bool validity.
       k: neighborhood size (``kCorrespondences``; 10 for s2s, 20 for s2m in
          cfg/DOALS.yaml:44,54).
+      neighbor_points: optional (M, 3) cloud to take neighborhoods from
+        instead of ``points`` itself — used by the point-parallel step,
+        where each shard computes covariances for its slice of the scan
+        against the full (replicated) scan.
 
     Returns:
       (N, 3, 3) covariances; invalid points get identity (they are masked
       out of every downstream reduction anyway).
     """
-    idx, _ = knn_ops.knn_best(points, points, k)
-    neigh = points[idx]  # (N, k, 3)
+    tgt = points if neighbor_points is None else neighbor_points
+    idx, _ = knn_ops.knn_best(points, tgt, k)
+    neigh = tgt[idx]  # (N, k, 3)
     mean = jnp.mean(neigh, axis=1, keepdims=True)
     centered = neigh - mean
     # cov = X^T X / k, matching the reference's normalization

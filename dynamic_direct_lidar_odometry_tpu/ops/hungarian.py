@@ -21,16 +21,24 @@ _INF = np.float32(3.0e12)
 
 
 @jax.jit
-def solve(cost: jnp.ndarray) -> jnp.ndarray:
-    """Minimum-cost perfect assignment on a square (N, N) matrix.
+def solve(
+    cost: jnp.ndarray, row_valid: jnp.ndarray | None = None
+) -> jnp.ndarray:
+    """Minimum-cost assignment on a square (N, N) matrix.
 
-    Returns col_of_row (N,) int32. Classic JV/e-maxx formulation with a
-    virtual column 0; all buffers are (N+1,).
+    Returns col_of_row (N,) int32 (-1 for skipped rows). Classic
+    JV/e-maxx formulation with a virtual column 0; all buffers are (N+1,).
+
+    ``row_valid`` bounds the sequential depth: the JV algorithm inserts
+    rows one augmenting path at a time, so invalid rows (uniform padded
+    cost; the reference's problems are 2-5 real objects inside a 64-slot
+    capacity) are skipped entirely instead of burning a full path each —
+    their result is -1, exactly what the caller masks to anyway.
     """
     N = cost.shape[0]
     C = jnp.pad(cost.astype(jnp.float32), ((1, 0), (1, 0)))  # 1-indexed
 
-    def assign_row(i, carry):
+    def insert_row(i, carry):
         u, v, p, way = carry
         p = p.at[0].set(i)
         minv = jnp.full((N + 1,), _INF)
@@ -76,6 +84,13 @@ def solve(cost: jnp.ndarray) -> jnp.ndarray:
         p, _ = jax.lax.while_loop(aug_cond, aug_body, (p, j0))
         return u, v, p, way
 
+    def assign_row(i, carry):
+        if row_valid is None:
+            return insert_row(i, carry)
+        return jax.lax.cond(
+            row_valid[i - 1], lambda c: insert_row(i, c), lambda c: c, carry
+        )
+
     u = jnp.zeros((N + 1,))
     v = jnp.zeros((N + 1,))
     p = jnp.zeros((N + 1,), jnp.int32)  # p[j] = row assigned to col j
@@ -110,7 +125,10 @@ def assign(
     pad = jnp.full((N, N), BIG)
     ok = row_valid[:, None] & col_valid[None, :]
     pad = pad.at[:R, :Ccols].set(jnp.where(ok, jnp.minimum(cost, BIG - 1), BIG))
-    col = solve(pad)[:R]
+    # bound the JV sequential depth by the number of VALID detections —
+    # padded/invalid rows would otherwise each burn a full augmenting path
+    rv = jnp.zeros((N,), bool).at[:R].set(row_valid)
+    col = solve(pad, rv)[:R]
     matched = (col >= 0) & (col < Ccols)
     matched = matched & row_valid
     matched = matched & jnp.where(

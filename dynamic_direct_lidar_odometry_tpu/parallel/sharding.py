@@ -126,6 +126,43 @@ def batched_pipeline_step(cfg: DDLOConfig, mesh: Mesh):
     return jax.jit(f)
 
 
+def point_parallel_pipeline_step(cfg: DDLOConfig, mesh: Mesh):
+    """A jitted batch-of-streams DDLO transition with BOTH mesh axes
+    live: streams over ``dp`` AND each stream's GICP point loops sharded
+    over ``pt`` (scan replicated per pt group; normal equations psum'd,
+    covariances/residuals all-gathered — odometry.step point-parallel
+    mode).
+
+    This is the single-stream LATENCY scale axis: the reference bounds
+    per-scan cost with OpenMP threads over points
+    (nano_gicp_impl.hpp:249,292); here the same point axis spans chips
+    over ICI. Call like :func:`batched_pipeline_step`.
+    """
+    pt_size = mesh.shape[PT_AXIS]
+    if cfg.capacity.max_points % pt_size != 0:
+        raise ValueError(
+            f"capacity.max_points={cfg.capacity.max_points} must divide "
+            f"by pt={pt_size}"
+        )
+
+    def one(state, pts, mask, ts):
+        return pipeline.step(
+            cfg, state, pts, mask, ts,
+            axis_name=PT_AXIS, pt_size=pt_size,
+        )
+
+    vstep = jax.vmap(one)
+    dp = P(DP_AXIS)
+    f = jax.shard_map(
+        vstep,
+        mesh=mesh,
+        in_specs=(dp, dp, dp, dp),
+        out_specs=(dp, dp),
+        check_vma=False,
+    )
+    return jax.jit(f)
+
+
 def shard_batch(mesh: Mesh, tree, point_sharded_leaves=()):
     """Place a batch pytree on the mesh, batch axis over ``dp``."""
     sh = NamedSharding(mesh, P(DP_AXIS))

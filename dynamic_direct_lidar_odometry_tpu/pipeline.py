@@ -71,7 +71,7 @@ def init_state(
     )
 
 
-@partial(jax.jit, static_argnames=("cfg",))
+@partial(jax.jit, static_argnames=("cfg", "axis_name", "pt_size"))
 def step(
     cfg: DDLOConfig,
     state: DDLOState,
@@ -79,16 +79,24 @@ def step(
     raw_mask: jnp.ndarray,
     timestamp: jnp.ndarray,
     hull_masks: Tuple[jnp.ndarray, jnp.ndarray] | None = None,
+    axis_name: str | None = None,
+    pt_size: int = 1,
 ) -> Tuple[DDLOState, DDLOOutputs]:
     """One full DDLO transition. ``hull_masks``: optional exact (convex,
     concave) keyframe hull memberships from the host (see
     keyframes.exact_hull_masks); the replay driver supplies them,
-    device-only callers fall back to the on-device approximations."""
+    device-only callers fall back to the on-device approximations.
+
+    ``axis_name``/``pt_size``: point-parallel single-stream mode — the
+    GICP/covariance point loops shard over a ``pt`` mesh axis (see
+    odometry.step); detection/tracking run replicated (their cost is
+    image-shaped, not point-sweep-shaped)."""
     H, W = cfg.detection.rows, cfg.detection.columns
 
     # ---- odometry (odom.cc:653-683) ----
     odo_state, odo = odometry.step(
-        cfg, state.odom, raw_points, raw_mask, hull_masks
+        cfg, state.odom, raw_points, raw_mask, hull_masks,
+        axis_name=axis_name, pt_size=pt_size,
     )
 
     # segmentation scan: the RAW organized cloud transformed to world

@@ -130,6 +130,45 @@ def test_batched_pipeline_step_runs_sharded():
     np.testing.assert_allclose(poses[0], np.asarray(out1.odom.pose), atol=1e-5)
 
 
+def test_point_parallel_pipeline_matches_single_device():
+    """The FULL pipeline step with its GICP point loops sharded over pt
+    (psum'd normal equations, all-gathered covariances/residuals) must
+    reproduce the unsharded transition."""
+    cfg = _tiny_cfg()
+    world = synthetic.World.town(seed=0, n_static=4)
+    pts, mask = synthetic.render_scan(
+        world, np.eye(4), H=cfg.detection.rows, W=cfg.detection.columns
+    )
+    B = 2
+    pts_b = jnp.broadcast_to(jnp.asarray(pts), (B,) + pts.shape)
+    mask_b = jnp.broadcast_to(jnp.asarray(mask), (B,) + mask.shape)
+    ts0 = jnp.zeros((B,), jnp.float32)
+    states = sharding.batched_init_state(cfg, pts_b, mask_b, ts0)
+
+    mesh = sharding.make_mesh(8, pt=4)  # dp=2, pt=4
+    step = sharding.point_parallel_pipeline_step(cfg, mesh)
+    new_states, outputs = step(
+        sharding.shard_batch(mesh, states),
+        sharding.shard_batch(mesh, pts_b),
+        sharding.shard_batch(mesh, mask_b),
+        sharding.shard_batch(mesh, jnp.full((B,), 0.1, jnp.float32)),
+    )
+    poses = np.asarray(outputs.odom.pose)
+    assert poses.shape == (B, 3) and np.all(np.isfinite(poses))
+
+    s1 = pipeline.init_state(cfg, jnp.asarray(pts), jnp.asarray(mask), 0.0)
+    _, out1 = pipeline.step(
+        cfg, s1, jnp.asarray(pts), jnp.asarray(mask), jnp.float32(0.1)
+    )
+    np.testing.assert_allclose(poses[0], np.asarray(out1.odom.pose), atol=1e-4)
+    # residuals were all-gathered back to full scan length and agree
+    np.testing.assert_allclose(
+        np.asarray(outputs.odom.residuals[0]),
+        np.asarray(out1.odom.residuals),
+        atol=1e-4,
+    )
+
+
 def test_replay_batch_matches_single_stream():
     """Batched multi-stream replay (parallel/replay.py) on the 8-device
     CPU mesh reproduces the single-stream transition per stream."""

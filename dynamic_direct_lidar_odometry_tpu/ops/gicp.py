@@ -146,6 +146,23 @@ def _linearize(
         )
         valid = src_mask & tgt_mask[idx] & (sqd < max_corr_dist * max_corr_dist)
         vf = valid.astype(src_pts.dtype)
+    elif (
+        os.environ.get("DDLO_SPARSE_NN") == "1"
+        and jax.default_backend() == "tpu"
+    ):
+        # experimental block-sparse sweep: target chunks outside the
+        # correspondence radius of a query tile are skipped — exact for
+        # every pair the max_corr_dist gate keeps (distances of gated-out
+        # points saturate, which only the debug residual image sees)
+        from dynamic_direct_lidar_odometry_tpu.ops import nn_pallas
+
+        idx, sqd = nn_pallas.nn1_sparse_pallas(
+            src_t_q, tgt_pts, radius=max_corr_dist
+        )
+        valid = src_mask & tgt_mask[idx] & (sqd < max_corr_dist * max_corr_dist)
+        vf = valid.astype(src_pts.dtype)
+        cov_B = tgt_covs[idx]
+        B = tgt_pts[idx]
     else:
         idx, sqd = knn_ops.nn1_best(src_t_q, tgt_pts)
         valid = src_mask & tgt_mask[idx] & (sqd < max_corr_dist * max_corr_dist)
@@ -380,7 +397,13 @@ def align(
     if s.compute_residuals:
         y_fin, H_fin, _, aux = lin(st.x0)
         idx, valid, _, _, sqd = aux
-        residuals = jnp.sqrt(jnp.maximum(sqd, 0.0)) * src_mask
+        # clamp: with the block-sparse NN, points with no target inside
+        # the correspondence radius carry a saturated distance (their
+        # true NN was pruned) — cap at a scene-scale bound so the debug
+        # residual image stays renderable (real distances are << 1e3 m)
+        residuals = (
+            jnp.minimum(jnp.sqrt(jnp.maximum(sqd, 0.0)), 1.0e3) * src_mask
+        )
         corr = jnp.where(valid, idx, -1)
         num_inliers = _allsum(jnp.sum(valid.astype(jnp.int32)))
     else:

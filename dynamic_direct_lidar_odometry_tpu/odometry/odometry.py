@@ -79,6 +79,21 @@ class OdomOutputs(NamedTuple):
     submap_size: jnp.ndarray
 
 
+def _nn_impl_from_env() -> str:
+    """Correspondence-backend selection: DDLO_NN_IMPL wins, the legacy
+    boolean flags map onto it, default is "auto" (Pallas exact on TPU)."""
+    import os
+
+    impl = os.environ.get("DDLO_NN_IMPL")
+    if impl:
+        return impl
+    if os.environ.get("DDLO_FUSED_NN") == "1":
+        return "fused"
+    if os.environ.get("DDLO_SPARSE_NN") == "1":
+        return "sparse"
+    return "auto"
+
+
 def _settings(stage, compute_residuals: bool = True) -> gicp.GICPSettings:
     return gicp.GICPSettings(
         max_correspondence_distance=stage.max_correspondence_distance,
@@ -88,6 +103,7 @@ def _settings(stage, compute_residuals: bool = True) -> gicp.GICPSettings:
         lm_max_iterations=stage.lm_max_iterations,
         lm_init_lambda_factor=stage.lm_init_lambda_factor,
         compute_residuals=compute_residuals,
+        nn_impl=_nn_impl_from_env(),
     )
 
 

@@ -59,6 +59,14 @@ class GICPSettings(NamedTuple):
     # compare the trajectory against a float64 oracle of
     # lsq_registration_impl.hpp:96-126 iteration by iteration
     record_trace: bool = False
+    # correspondence-search backend: "auto" (Pallas exact on TPU, XLA
+    # sweep elsewhere), "exact" (XLA sweep), "pallas" (exact Pallas),
+    # "fused" (Pallas fold carrying winner coords+covs — no HBM
+    # gathers), "sparse" (AABB-pruned Pallas sweep, exact within
+    # max_correspondence_distance). Compile-time static; the odometry
+    # layer maps the DDLO_NN_IMPL / DDLO_FUSED_NN / DDLO_SPARSE_NN env
+    # vars onto this once.
+    nn_impl: str = "auto"
 
 
 _EMPTY_TRACE = np.zeros((0, 4, 4), np.float32)
@@ -116,6 +124,7 @@ def _linearize(
     tgt_mask: jnp.ndarray,
     tgt_covs: jnp.ndarray,
     max_corr_dist: float,
+    nn_impl: str = "auto",
 ):
     """One GICP linearization at pose T.
 
@@ -123,6 +132,8 @@ def _linearize(
     ``linearize`` (:278-342): NN correspondences, Mahalanobis weights
     M = (C_B + R C_A R^T)^-1, error y0 = sum e^T M e, and the 6x6/6x1
     Gauss-Newton normal equations H, b with J = [skew(T a) | -I].
+
+    ``nn_impl`` picks the correspondence backend (GICPSettings.nn_impl).
     """
     # NOTE all matmuls/einsums here run at Precision.HIGHEST: TPU f32
     # matmuls default to bf16 MXU passes whose mantissa noise (~0.4 %
@@ -134,11 +145,10 @@ def _linearize(
     src_t = se3.transform_points(T, src_pts)
     src_t_q = jnp.where(src_mask[:, None], src_t, SENTINEL)
 
-    import os
-
-    if os.environ.get("DDLO_FUSED_NN") == "1" and jax.default_backend() == "tpu":
-        # experimental fused kernel: winner coords + covariance come out
-        # of the NN fold, no tgt[idx]/tgt_covs[idx] HBM gathers
+    on_tpu = jax.default_backend() == "tpu"
+    if nn_impl == "fused" and on_tpu:
+        # fused kernel: winner coords + covariance come out of the NN
+        # fold, no tgt[idx]/tgt_covs[idx] HBM gathers
         from dynamic_direct_lidar_odometry_tpu.ops import nn_pallas
 
         idx, sqd, B, cov_B = nn_pallas.nn1_gather_pallas(
@@ -146,25 +156,25 @@ def _linearize(
         )
         valid = src_mask & tgt_mask[idx] & (sqd < max_corr_dist * max_corr_dist)
         vf = valid.astype(src_pts.dtype)
-    elif (
-        os.environ.get("DDLO_SPARSE_NN") == "1"
-        and jax.default_backend() == "tpu"
-    ):
-        # experimental block-sparse sweep: target chunks outside the
-        # correspondence radius of a query tile are skipped — exact for
-        # every pair the max_corr_dist gate keeps (distances of gated-out
-        # points saturate, which only the debug residual image sees)
-        from dynamic_direct_lidar_odometry_tpu.ops import nn_pallas
-
-        idx, sqd = nn_pallas.nn1_sparse_pallas(
-            src_t_q, tgt_pts, radius=max_corr_dist
-        )
-        valid = src_mask & tgt_mask[idx] & (sqd < max_corr_dist * max_corr_dist)
-        vf = valid.astype(src_pts.dtype)
-        cov_B = tgt_covs[idx]
-        B = tgt_pts[idx]
     else:
-        idx, sqd = knn_ops.nn1_best(src_t_q, tgt_pts)
+        if nn_impl == "sparse" and on_tpu:
+            # block-sparse sweep: target chunks outside the
+            # correspondence radius of a query tile are skipped — exact
+            # for every pair the max_corr_dist gate keeps (distances of
+            # gated-out points saturate; only the debug image sees them)
+            from dynamic_direct_lidar_odometry_tpu.ops import nn_pallas
+
+            idx, sqd = nn_pallas.nn1_sparse_pallas(
+                src_t_q, tgt_pts, radius=max_corr_dist
+            )
+        elif nn_impl == "pallas" and on_tpu:
+            from dynamic_direct_lidar_odometry_tpu.ops import nn_pallas
+
+            idx, sqd = nn_pallas.nn1_pallas(src_t_q, tgt_pts)
+        elif nn_impl == "exact":
+            idx, sqd = knn_ops.nn1(src_t_q, tgt_pts)
+        else:  # "auto": Pallas exact on TPU, XLA sweep elsewhere
+            idx, sqd = knn_ops.nn1_best(src_t_q, tgt_pts)
         valid = src_mask & tgt_mask[idx] & (sqd < max_corr_dist * max_corr_dist)
         vf = valid.astype(src_pts.dtype)
         cov_B = tgt_covs[idx]
@@ -262,7 +272,7 @@ def align(
     def lin(T):
         y0, H, b, aux = _linearize(
             T, src_pts, src_mask, src_covs, tgt_q, tgt_mask, tgt_covs,
-            s.max_correspondence_distance,
+            s.max_correspondence_distance, s.nn_impl,
         )
         return _allsum(y0), _allsum(H), _allsum(b), aux
 

@@ -173,10 +173,9 @@ def test_fused_nn_env_flag_gicp_parity(monkeypatch):
         T, src, mask, covs, tgt, mask, covs, 1.0
     )
 
-    monkeypatch.setenv("DDLO_FUSED_NN", "1")
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
     y_f, H_f, b_f, _ = gicp._linearize(
-        T, src, mask, covs, tgt, mask, covs, 1.0
+        T, src, mask, covs, tgt, mask, covs, 1.0, nn_impl="fused"
     )
     np.testing.assert_allclose(float(y_f), float(y_ref), rtol=1e-5)
     np.testing.assert_allclose(np.asarray(H_f), np.asarray(H_ref), rtol=1e-4)
@@ -201,10 +200,9 @@ def test_sparse_nn_env_flag_gicp_parity(monkeypatch):
         T, src, mask, covs, tgt, mask, covs, 1.0
     )
 
-    monkeypatch.setenv("DDLO_SPARSE_NN", "1")
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
     y_s, H_s, b_s, aux_s = gicp._linearize(
-        T, src, mask, covs, tgt, mask, covs, 1.0
+        T, src, mask, covs, tgt, mask, covs, 1.0, nn_impl="sparse"
     )
     np.testing.assert_allclose(float(y_s), float(y_ref), rtol=1e-5)
     np.testing.assert_allclose(np.asarray(H_s), np.asarray(H_ref), rtol=1e-4)

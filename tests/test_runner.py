@@ -103,6 +103,36 @@ def test_replay_checkpoint_resume(tmp_path):
     )
 
 
+def test_nan_watchdog_rolls_back_pipelined_loop(monkeypatch):
+    """A scan whose step produces a non-finite pose must be dropped along
+    with the in-flight step built on it, and replay must continue from
+    the last good state (failure-detection path of the pipelined loop)."""
+    import jax.numpy as jnp
+
+    from dynamic_direct_lidar_odometry_tpu import pipeline
+
+    seq = _seq(n=8)
+    cfg = _small_cfg(seq.H, seq.W)
+
+    real_step = pipeline.step
+    calls = {"n": 0}
+
+    def poisoned_step(cfg_, state, pts, mask, ts, hull_masks=None, **kw):
+        calls["n"] += 1
+        state2, out = real_step(cfg_, state, pts, mask, ts, hull_masks, **kw)
+        if calls["n"] == 3:  # poison the third processed scan
+            bad_T = out.odom.T.at[0, 3].set(jnp.nan)
+            out = out._replace(odom=out.odom._replace(T=bad_T))
+        return state2, out
+
+    monkeypatch.setattr(runner.pipeline, "step", poisoned_step)
+    res = runner.replay(cfg, seq, out_dir=None, map_capacity=20_000)
+    # poisoned scan + the in-flight successor were dropped
+    assert res.dropped_scans == 2
+    assert len(res.poses) == len(seq) - 1 - 2
+    assert np.all(np.isfinite(res.poses))
+
+
 def test_sequence_roundtrip(tmp_path):
     seq = _seq(n=3)
     path = os.path.join(tmp_path, "s.npz")

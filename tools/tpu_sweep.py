@@ -1,0 +1,127 @@
+"""One-shot TPU measurement sweep: pipeline rate per NN backend.
+
+Run when the relay is up to settle every pending perf question at once
+(CLAUDE.md "Perf state"): times the FULL pipeline step at bench scale
+(64x2048, 16k points, 64k submap) for each correspondence backend —
+"auto" (exact Pallas sweep), "fused" (no-gather fold), "sparse"
+(AABB-pruned sweep) — plus per-stage timings for the winner.
+
+    python tools/tpu_sweep.py [--scans 20] [--impls auto,sparse,fused]
+
+Prints a table + one JSON line with every measurement. The winner
+should become the default (flip DDLO_NN_IMPL mapping / GICPSettings
+default) and bench.py re-run.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/ddlo_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+import jax.numpy as jnp
+import numpy as np
+
+
+def bench_scale_setup():
+    from dynamic_direct_lidar_odometry_tpu import config as cfg_lib
+    from dynamic_direct_lidar_odometry_tpu.io import synthetic
+
+    cfg = cfg_lib.doals_config()
+    cfg = dataclasses.replace(
+        cfg,
+        capacity=dataclasses.replace(
+            cfg.capacity,
+            max_points=16384,
+            max_submap_points=65536,
+            max_keyframes=64,
+            max_keyframe_points=8192,
+            nn_chunk=2048,
+        ),
+    )
+    H, W = cfg.detection.rows, cfg.detection.columns
+    world = synthetic.World.town(seed=3, n_static=10)
+    movers = [
+        synthetic.Box(
+            np.array([6.0, -3.0, 0.9]), np.array([0.8, 0.8, 1.8]),
+            np.array([1.2, 0.4, 0.0]),
+        ),
+        synthetic.Box(
+            np.array([-4.0, 5.0, 0.9]), np.array([0.8, 0.8, 1.8]),
+            np.array([-0.5, -1.0, 0.0]),
+        ),
+    ]
+    n_scans = 12
+    poses = synthetic.circular_trajectory(n_scans, radius=8.0, angle_span=0.6)
+    rng = np.random.default_rng(0)
+    scans = [
+        tuple(map(jnp.asarray, synthetic.render_scan(
+            world, T, H=H, W=W, t=0.1 * i, extra_boxes=movers, rng=rng
+        )))
+        for i, T in enumerate(poses)
+    ]
+    return cfg, scans
+
+
+def time_pipeline(cfg, scans, n_timed: int):
+    from dynamic_direct_lidar_odometry_tpu import pipeline
+
+    state = pipeline.init_state(cfg, scans[0][0], scans[0][1], 0.0)
+    state, _ = pipeline.step(
+        cfg, state, scans[1][0], scans[1][1], jnp.float32(0.1)
+    )
+    jax.block_until_ready(state)
+    t0 = time.perf_counter()
+    for i in range(n_timed):
+        pts, mask = scans[2 + (i % (len(scans) - 2))]
+        state, out = pipeline.step(
+            cfg, state, pts, mask, jnp.float32(0.2 + 0.1 * i)
+        )
+    jax.block_until_ready(state)
+    dt = (time.perf_counter() - t0) / n_timed
+    return dt * 1e3  # ms per scan
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scans", type=int, default=20)
+    ap.add_argument("--impls", default="auto,sparse,fused")
+    args = ap.parse_args()
+
+    print(f"backend: {jax.default_backend()}  devices: {jax.devices()}")
+    cfg, scans = bench_scale_setup()
+
+    results = {}
+    for impl in args.impls.split(","):
+        os.environ["DDLO_NN_IMPL"] = impl
+        try:
+            ms = time_pipeline(cfg, scans, args.scans)
+            results[impl] = round(ms, 2)
+            print(f"pipeline.step [{impl:7s}] {ms:8.2f} ms  "
+                  f"({1e3 / ms:.1f} Hz)")
+        except Exception as e:  # Mosaic lowering / VMEM failures
+            results[impl] = f"FAILED: {type(e).__name__}: {str(e)[:200]}"
+            print(f"pipeline.step [{impl:7s}] FAILED: {str(e)[:200]}")
+    os.environ.pop("DDLO_NN_IMPL", None)
+
+    numeric = {k: v for k, v in results.items() if isinstance(v, float)}
+    winner = min(numeric, key=numeric.get) if numeric else None
+    print(json.dumps({
+        "metric": "pipeline_step_ms_by_nn_impl",
+        "results": results,
+        "winner": winner,
+        "winner_hz": round(1e3 / numeric[winner], 2) if winner else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

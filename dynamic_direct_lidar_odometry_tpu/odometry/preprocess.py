@@ -15,7 +15,6 @@ import jax
 import jax.numpy as jnp
 
 from dynamic_direct_lidar_odometry_tpu.config import DDLOConfig
-from dynamic_direct_lidar_odometry_tpu.core.cloud import SENTINEL
 from dynamic_direct_lidar_odometry_tpu.ops import filters
 
 

@@ -477,13 +477,62 @@ def _nn_classes_kernel(qt_ref, tt_ref, idx_ref, dist_ref, *, t_chunk: int):
     dist_ref[:, :] = best_d
 
 
-@partial(jax.jit, static_argnames=("k", "q_tile", "t_chunk"))
+def _nn_classes_sparse_kernel(
+    mask_ref, qt_ref, tt_ref, idx_ref, dist_ref, *, t_chunk: int
+):
+    """AABB-pruned variant of :func:`_nn_classes_kernel` — target chunks
+    farther than the prune radius from the query tile's box are skipped
+    (same scalar-prefetch mask scheme as :func:`_nn1_sparse_kernel`)."""
+    T = tt_ref.shape[1]
+    QT = qt_ref.shape[1]
+    n_chunks = T // t_chunk
+    folds = t_chunk // 128
+    i = pl.program_id(0)
+
+    qx = qt_ref[0, :].reshape(QT, 1)
+    qy = qt_ref[1, :].reshape(QT, 1)
+    qz = qt_ref[2, :].reshape(QT, 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (QT, 128), 1)
+
+    def sweep(c, carry):
+        best_d, best_i = carry
+        base = c * t_chunk
+        tx = tt_ref[0, pl.ds(base, t_chunk)].reshape(1, t_chunk)
+        ty = tt_ref[1, pl.ds(base, t_chunk)].reshape(1, t_chunk)
+        tz = tt_ref[2, pl.ds(base, t_chunk)].reshape(1, t_chunk)
+        dx = qx - tx
+        dy = qy - ty
+        dz = qz - tz
+        d = dx * dx + dy * dy + dz * dz
+        for f in range(folds):
+            dd = d[:, f * 128 : (f + 1) * 128]
+            tk = dd < best_d
+            best_i = jnp.where(tk, lane + (base + f * 128), best_i)
+            best_d = jnp.where(tk, dd, best_d)
+        return best_d, best_i
+
+    def body(c, carry):
+        return jax.lax.cond(
+            mask_ref[i, c] != 0, lambda cr: sweep(c, cr), lambda cr: cr, carry
+        )
+
+    init = (
+        jnp.full((QT, 128), _BIG, jnp.float32),
+        jnp.zeros((QT, 128), jnp.int32),
+    )
+    best_d, best_i = jax.lax.fori_loop(0, n_chunks, body, init)
+    idx_ref[:, :] = best_i
+    dist_ref[:, :] = best_d
+
+
+@partial(jax.jit, static_argnames=("k", "q_tile", "t_chunk", "prune_radius"))
 def knn_approx_pallas(
     query: jnp.ndarray,
     target: jnp.ndarray,
     k: int,
     q_tile: int = 1024,
     t_chunk: int = 512,
+    prune_radius: float | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Approximate k-NN: per query, the k smallest of its 128 lane-class
     minima (class = target index mod 128; each class keeps only its best
@@ -497,6 +546,13 @@ def knn_approx_pallas(
     query contained in the target set always keeps itself (it is the
     0-distance minimum of its own class), matching the kd-tree semantics
     of calculate_covariances (nano_gicp_impl.hpp:385-396).
+
+    ``prune_radius``: optionally skip target chunks whose AABB is farther
+    than this from the query tile's AABB (same scheme as
+    :func:`nn1_sparse_pallas`). Correct as long as every true k-th
+    neighbor lies within the radius — at voxel-filtered scan density
+    (res 0.3-0.5 m, k <= 20) a few meters is ample; measured in
+    tests/test_approximations.py.
 
     Returns (idx (Q, k) int32, sqdist (Q, k) f32), ascending.
     """
@@ -516,22 +572,63 @@ def knn_approx_pallas(
     Qp, Tp = q.shape[0], t.shape[0]
 
     grid = (Qp // q_tile,)
-    idx, dist = pl.pallas_call(
-        partial(_nn_classes_kernel, t_chunk=t_chunk),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((3, q_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, Tp), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((q_tile, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((q_tile, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((Qp, 128), jnp.int32),
-            jax.ShapeDtypeStruct((Qp, 128), jnp.float32),
-        ],
-    )(q.T, t.T)
+    out_specs_plain = [
+        pl.BlockSpec((q_tile, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((q_tile, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((Qp, 128), jnp.int32),
+        jax.ShapeDtypeStruct((Qp, 128), jnp.float32),
+    ]
+    if prune_radius is None:
+        idx, dist = pl.pallas_call(
+            partial(_nn_classes_kernel, t_chunk=t_chunk),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(
+                    (3, q_tile), lambda i: (0, i), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec((3, Tp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=out_specs_plain,
+            out_shape=out_shape,
+        )(q.T, t.T)
+    else:
+        n_tiles, n_chunks = Qp // q_tile, Tp // t_chunk
+        qb = q.reshape(n_tiles, q_tile, 3)
+        tb = t.reshape(n_chunks, t_chunk, 3)
+        overlap = jnp.all(
+            (qb.min(axis=1)[:, None, :] - prune_radius <= tb.max(axis=1)[None])
+            & (qb.max(axis=1)[:, None, :] + prune_radius >= tb.min(axis=1)[None]),
+            axis=-1,
+        )
+        idx, dist = pl.pallas_call(
+            partial(_nn_classes_sparse_kernel, t_chunk=t_chunk),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=grid,
+                in_specs=[
+                    pl.BlockSpec(
+                        (3, q_tile), lambda i, m: (0, i),
+                        memory_space=pltpu.VMEM,
+                    ),
+                    pl.BlockSpec(
+                        (3, Tp), lambda i, m: (0, 0), memory_space=pltpu.VMEM
+                    ),
+                ],
+                out_specs=[
+                    pl.BlockSpec(
+                        (q_tile, 128), lambda i, m: (i, 0),
+                        memory_space=pltpu.VMEM,
+                    ),
+                    pl.BlockSpec(
+                        (q_tile, 128), lambda i, m: (i, 0),
+                        memory_space=pltpu.VMEM,
+                    ),
+                ],
+            ),
+            out_shape=out_shape,
+        )(overlap.astype(jnp.int32), q.T, t.T)
 
     nd, pos = jax.lax.top_k(-dist[:Q], k)  # ascending distances
     ki = jnp.take_along_axis(idx[:Q], pos, axis=1)

@@ -22,7 +22,7 @@ kd-tree queries via scipy.spatial.cKDTree (exact, like nanoflann).
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Optional, Tuple
+from typing import List, Optional
 
 import numpy as np
 from scipy.spatial import cKDTree

@@ -14,7 +14,6 @@ exact oracles and pin the bounds:
    (equivalently the surface normal) that feeds GICP.
 """
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -242,3 +241,15 @@ def test_knn_approx_covariance_drift_16k():
     assert np.median(frob) < 0.02, np.median(frob)
     assert frob.mean() < 0.1, frob.mean()
     assert np.quantile(frob, 0.95) < 0.5, np.quantile(frob, 0.95)
+
+    # AABB pruning (prune_radius) must not change the neighborhoods when
+    # every true k-th neighbor is within the radius
+    with pltpu.force_tpu_interpret_mode():
+        idx_pruned, _ = nn_pallas.knn_approx_pallas(
+            pts, pts, k, prune_radius=5.0
+        )
+    same = np.array([
+        len(np.intersect1d(a, b)) for a, b in
+        zip(np.asarray(idx_apx), np.asarray(idx_pruned))
+    ]) / k
+    assert same.mean() > 0.999, same.mean()

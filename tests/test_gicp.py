@@ -6,7 +6,6 @@ import jax.numpy as jnp
 from scipy.spatial.transform import Rotation
 
 from dynamic_direct_lidar_odometry_tpu.core import cloud as cloud_lib
-from dynamic_direct_lidar_odometry_tpu.core import se3
 from dynamic_direct_lidar_odometry_tpu.ops import covariance, gicp
 
 

@@ -11,7 +11,6 @@ import jax.numpy as jnp
 
 from dynamic_direct_lidar_odometry_tpu import config as cfg_lib
 from dynamic_direct_lidar_odometry_tpu import pipeline
-from dynamic_direct_lidar_odometry_tpu.detection import detection
 from dynamic_direct_lidar_odometry_tpu.io import synthetic
 
 

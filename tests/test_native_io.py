@@ -31,8 +31,7 @@ def _write_scans(tmp_path, n=5, points=200, with_nan=True):
 
 
 def _write_raw_pcd(path, pts, binary):
-    import struct
-
+    
     n = len(pts)
     hdr = (
         "# .PCD v0.7\nVERSION 0.7\nFIELDS x y z\nSIZE 4 4 4\n"

@@ -158,8 +158,6 @@ def test_nn1_gather_matches_separate_gathers():
 def test_fused_nn_env_flag_gicp_parity(monkeypatch):
     """DDLO_FUSED_NN path produces the same linearization as the gather
     path (forced through interpret mode on CPU by faking the backend)."""
-    import os
-
     from dynamic_direct_lidar_odometry_tpu.ops import gicp
 
     rng = np.random.default_rng(0)

@@ -1,7 +1,6 @@
 import dataclasses
 
 import numpy as np
-import pytest
 
 import jax.numpy as jnp
 

@@ -16,7 +16,6 @@ import jax.numpy as jnp
 
 import reference_oracle as oracle
 from dynamic_direct_lidar_odometry_tpu import config as cfg_lib
-from dynamic_direct_lidar_odometry_tpu.core import se3
 from dynamic_direct_lidar_odometry_tpu.ops import covariance, gicp
 
 

@@ -29,10 +29,18 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 CACHE = os.path.join(REPO, ".bench_cache.json")
 
 PROBE_SRC = r"""
+import os
 import jax, jax.numpy as jnp
 x = jax.jit(lambda x: x * 2.0)(jnp.ones((128, 128)))
 x.block_until_ready()
-print("PROBE_OK", [d.platform for d in jax.devices()])
+plats = {d.platform for d in jax.devices()}
+# the headline bench is a TPU number: a silent CPU fallback (axon plugin
+# failing at init) must read as "relay down", not as a passing probe —
+# DDLO_BENCH_ALLOW_CPU=1 overrides for local testing only
+if "tpu" in plats or os.environ.get("DDLO_BENCH_ALLOW_CPU") == "1":
+    print("PROBE_OK", sorted(plats))
+else:
+    print("PROBE_WRONG_BACKEND", sorted(plats))
 """
 
 
@@ -138,6 +146,15 @@ def run_timed():
 
     import numpy as np
     import jax
+
+    if (
+        jax.default_backend() != "tpu"
+        and os.environ.get("DDLO_BENCH_ALLOW_CPU") != "1"
+    ):
+        raise RuntimeError(
+            f"bench requires the TPU backend, got {jax.default_backend()} "
+            "(set DDLO_BENCH_ALLOW_CPU=1 to override for local testing)"
+        )
 
     # persistent compile cache: repeat bench runs skip the ~1-2 min
     # pipeline compile (cache key covers jaxlib + flags, so it is safe)

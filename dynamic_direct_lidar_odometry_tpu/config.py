@@ -133,9 +133,12 @@ class DetectionConfig:
     dilate_kernel_size: int = 2
     # Residual-image scatter layout: "lidar" = panoramic row-major grid,
     # "camera" = the fork's square organized depth-image grid
-    # (odom.cc:804-827). Explicit, so a square spinning-LiDAR config cannot
-    # silently pick the camera grid (it used to be inferred from rows ==
-    # columns).
+    # (odom.cc:804-827). The dataclass default is explicit ("lidar"); the
+    # YAML loader, for compatibility with the fork's configs (which have
+    # no residualGrid key and hardcode the camera path for their 512x512
+    # clouds), still infers "camera" for square images UNLESS the YAML
+    # sets odomNode/detection/residualGrid — set it for square
+    # spinning-LiDAR rigs.
     residual_grid: str = "lidar"
     # Optional segmentation window (the fork hardcodes rows/cols 156..356 for
     # its 512x512 Azure Kinect clouds, detection.cpp:514-516,569-571).

@@ -222,7 +222,10 @@ def exact_hull_masks(
             la = np.linalg.norm(b - c, axis=1)
             lb = np.linalg.norm(a - c, axis=1)
             lc = np.linalg.norm(a - b, axis=1)
-            area = np.abs(np.cross(b - a, c - a)) / 2.0
+            # explicit 2D cross (np.cross on 2-vectors is removed in
+            # future NumPy)
+            ab, ac = b - a, c - a
+            area = np.abs(ab[:, 0] * ac[:, 1] - ab[:, 1] * ac[:, 0]) / 2.0
             R = np.where(
                 area > 1e-12, la * lb * lc / (4.0 * np.maximum(area, 1e-12)),
                 np.inf,

@@ -35,61 +35,71 @@ from jax.experimental.pallas import tpu as pltpu
 _BIG = 3.0e12
 
 
+def _chunk_min_sweep(qxyz, lane, tt_ref, base, t_chunk, best_d, best_i):
+    """One target chunk's distance sweep merged into the (QT, 128)
+    per-lane-class running (best_dist, best_index) carry — the shared
+    core of every min-sweep kernel below. Strict ``<`` everywhere, so
+    the earliest (lowest-index) target wins ties, matching a sequential
+    min sweep (and the kd-tree's first-found semantics)."""
+    qx, qy, qz = qxyz
+    tx = tt_ref[0, pl.ds(base, t_chunk)].reshape(1, t_chunk)
+    ty = tt_ref[1, pl.ds(base, t_chunk)].reshape(1, t_chunk)
+    tz = tt_ref[2, pl.ds(base, t_chunk)].reshape(1, t_chunk)
+    dx = qx - tx
+    dy = qy - ty
+    dz = qz - tz
+    d = dx * dx + dy * dy + dz * dz  # (QT, t_chunk)
+    # static 128-wide slices keep the carry (QT, 128) — 4-16x less VMEM
+    # than carrying (QT, t_chunk) best/index pairs
+    for f in range(t_chunk // 128):
+        dd = d[:, f * 128 : (f + 1) * 128]
+        tk = dd < best_d
+        best_i = jnp.where(tk, lane + (base + f * 128), best_i)
+        best_d = jnp.where(tk, dd, best_d)
+    return best_d, best_i
+
+
+def _query_lanes(qt_ref):
+    QT = qt_ref.shape[1]
+    qxyz = (
+        qt_ref[0, :].reshape(QT, 1),
+        qt_ref[1, :].reshape(QT, 1),
+        qt_ref[2, :].reshape(QT, 1),
+    )
+    lane = jax.lax.broadcasted_iota(jnp.int32, (QT, 128), 1)
+    init = (
+        jnp.full((QT, 128), _BIG, jnp.float32),
+        jnp.zeros((QT, 128), jnp.int32),
+    )
+    return qxyz, lane, init
+
+
+def _argmin_epilogue(best_d, best_i, idx_ref, dist_ref):
+    """One cross-lane reduction per tile: argmin over the class width,
+    smallest target index among ties."""
+    QT = best_d.shape[0]
+    win = jnp.min(best_d, axis=1, keepdims=True)  # (QT, 1)
+    idx_cand = jnp.where(best_d == win, best_i, jnp.int32(2**30))
+    idx_ref[:, :] = jnp.min(idx_cand, axis=1).reshape(QT // 128, 128)
+    dist_ref[:, :] = win[:, 0].reshape(QT // 128, 128)
+
+
 def _nn1_kernel(qt_ref, tt_ref, idx_ref, dist_ref, *, t_chunk: int):
     """One query tile vs the full target cloud.
 
     qt_ref: (3, QT) query tile       tt_ref: (3, T) full target
     idx_ref: (QT//128, 128) int32    dist_ref: (QT//128, 128) f32
     """
-    T = tt_ref.shape[1]
-    QT = qt_ref.shape[1]
-    n_chunks = T // t_chunk
-    folds = t_chunk // 128
-
-    qx = qt_ref[0, :].reshape(QT, 1)
-    qy = qt_ref[1, :].reshape(QT, 1)
-    qz = qt_ref[2, :].reshape(QT, 1)
-
-    lane = jax.lax.broadcasted_iota(jnp.int32, (QT, 128), 1)
+    n_chunks = tt_ref.shape[1] // t_chunk
+    qxyz, lane, init = _query_lanes(qt_ref)
 
     def body(c, carry):
-        best_d, best_i = carry
-        base = c * t_chunk
-        tx = tt_ref[0, pl.ds(base, t_chunk)].reshape(1, t_chunk)
-        ty = tt_ref[1, pl.ds(base, t_chunk)].reshape(1, t_chunk)
-        tz = tt_ref[2, pl.ds(base, t_chunk)].reshape(1, t_chunk)
-        dx = qx - tx
-        dy = qy - ty
-        dz = qz - tz
-        d = dx * dx + dy * dy + dz * dz  # (QT, t_chunk)
-        # fold the chunk down to 128 lanes first (min-tree over static
-        # 128-wide slices) so the loop carry stays (QT, 128) — 4-16x less
-        # VMEM than carrying (QT, t_chunk) best/index pairs
-        fd = d[:, 0:128]
-        fi = lane + base
-        for f in range(1, folds):
-            dd = d[:, f * 128 : (f + 1) * 128]
-            tk = dd < fd
-            fi = jnp.where(tk, lane + (base + f * 128), fi)
-            fd = jnp.where(tk, dd, fd)
-        take = fd < best_d
-        best_d = jnp.where(take, fd, best_d)
-        best_i = jnp.where(take, fi, best_i)
-        return best_d, best_i
+        return _chunk_min_sweep(
+            qxyz, lane, tt_ref, c * t_chunk, t_chunk, *carry
+        )
 
-    init = (
-        jnp.full((QT, 128), _BIG, jnp.float32),
-        jnp.zeros((QT, 128), jnp.int32),
-    )
     best_d, best_i = jax.lax.fori_loop(0, n_chunks, body, init)
-
-    # one cross-lane reduction per tile: argmin over the chunk width
-    win = jnp.min(best_d, axis=1, keepdims=True)  # (QT, 1)
-    is_min = best_d == win
-    # smallest target index among ties (matches a sequential min sweep)
-    idx_cand = jnp.where(is_min, best_i, jnp.int32(2**30))
-    idx_ref[:, :] = jnp.min(idx_cand, axis=1).reshape(QT // 128, 128)
-    dist_ref[:, :] = win[:, 0].reshape(QT // 128, 128)
+    _argmin_epilogue(best_d, best_i, idx_ref, dist_ref)
 
 
 @partial(jax.jit, static_argnames=("q_tile", "t_chunk"))
@@ -302,56 +312,22 @@ def _nn1_sparse_kernel(
     mask_ref: (n_tiles, n_chunks) int32 scalar-prefetch overlap mask
     qt_ref: (3, QT) query tile    tt_ref: (3, T) full target
     """
-    T = tt_ref.shape[1]
-    QT = qt_ref.shape[1]
-    n_chunks = T // t_chunk
-    folds = t_chunk // 128
+    n_chunks = tt_ref.shape[1] // t_chunk
     i = pl.program_id(0)
-
-    qx = qt_ref[0, :].reshape(QT, 1)
-    qy = qt_ref[1, :].reshape(QT, 1)
-    qz = qt_ref[2, :].reshape(QT, 1)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (QT, 128), 1)
-
-    def sweep_chunk(c, carry):
-        best_d, best_i = carry
-        base = c * t_chunk
-        tx = tt_ref[0, pl.ds(base, t_chunk)].reshape(1, t_chunk)
-        ty = tt_ref[1, pl.ds(base, t_chunk)].reshape(1, t_chunk)
-        tz = tt_ref[2, pl.ds(base, t_chunk)].reshape(1, t_chunk)
-        dx = qx - tx
-        dy = qy - ty
-        dz = qz - tz
-        d = dx * dx + dy * dy + dz * dz  # (QT, t_chunk)
-        fd = d[:, 0:128]
-        fi = lane + base
-        for f in range(1, folds):
-            dd = d[:, f * 128 : (f + 1) * 128]
-            tk = dd < fd
-            fi = jnp.where(tk, lane + (base + f * 128), fi)
-            fd = jnp.where(tk, dd, fd)
-        take = fd < best_d
-        return jnp.where(take, fd, best_d), jnp.where(take, fi, best_i)
+    qxyz, lane, init = _query_lanes(qt_ref)
 
     def body(c, carry):
         return jax.lax.cond(
             mask_ref[i, c] != 0,
-            lambda cr: sweep_chunk(c, cr),
+            lambda cr: _chunk_min_sweep(
+                qxyz, lane, tt_ref, c * t_chunk, t_chunk, *cr
+            ),
             lambda cr: cr,
             carry,
         )
 
-    init = (
-        jnp.full((QT, 128), _BIG, jnp.float32),
-        jnp.zeros((QT, 128), jnp.int32),
-    )
     best_d, best_i = jax.lax.fori_loop(0, n_chunks, body, init)
-
-    win = jnp.min(best_d, axis=1, keepdims=True)
-    is_min = best_d == win
-    idx_cand = jnp.where(is_min, best_i, jnp.int32(2**30))
-    idx_ref[:, :] = jnp.min(idx_cand, axis=1).reshape(QT // 128, 128)
-    dist_ref[:, :] = win[:, 0].reshape(QT // 128, 128)
+    _argmin_epilogue(best_d, best_i, idx_ref, dist_ref)
 
 
 @partial(jax.jit, static_argnames=("radius", "q_tile", "t_chunk"))
@@ -441,37 +417,14 @@ def _nn_classes_kernel(qt_ref, tt_ref, idx_ref, dist_ref, *, t_chunk: int):
     """Like :func:`_nn1_kernel` but emits the full per-lane-class running
     minima (class = target index mod 128) instead of the final argmin:
     (QT, 128) best distance + index per query tile."""
-    T = tt_ref.shape[1]
-    QT = qt_ref.shape[1]
-    n_chunks = T // t_chunk
-    folds = t_chunk // 128
-
-    qx = qt_ref[0, :].reshape(QT, 1)
-    qy = qt_ref[1, :].reshape(QT, 1)
-    qz = qt_ref[2, :].reshape(QT, 1)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (QT, 128), 1)
+    n_chunks = tt_ref.shape[1] // t_chunk
+    qxyz, lane, init = _query_lanes(qt_ref)
 
     def body(c, carry):
-        best_d, best_i = carry
-        base = c * t_chunk
-        tx = tt_ref[0, pl.ds(base, t_chunk)].reshape(1, t_chunk)
-        ty = tt_ref[1, pl.ds(base, t_chunk)].reshape(1, t_chunk)
-        tz = tt_ref[2, pl.ds(base, t_chunk)].reshape(1, t_chunk)
-        dx = qx - tx
-        dy = qy - ty
-        dz = qz - tz
-        d = dx * dx + dy * dy + dz * dz
-        for f in range(folds):
-            dd = d[:, f * 128 : (f + 1) * 128]
-            tk = dd < best_d
-            best_i = jnp.where(tk, lane + (base + f * 128), best_i)
-            best_d = jnp.where(tk, dd, best_d)
-        return best_d, best_i
+        return _chunk_min_sweep(
+            qxyz, lane, tt_ref, c * t_chunk, t_chunk, *carry
+        )
 
-    init = (
-        jnp.full((QT, 128), _BIG, jnp.float32),
-        jnp.zeros((QT, 128), jnp.int32),
-    )
     best_d, best_i = jax.lax.fori_loop(0, n_chunks, body, init)
     idx_ref[:, :] = best_i
     dist_ref[:, :] = best_d
@@ -483,43 +436,20 @@ def _nn_classes_sparse_kernel(
     """AABB-pruned variant of :func:`_nn_classes_kernel` — target chunks
     farther than the prune radius from the query tile's box are skipped
     (same scalar-prefetch mask scheme as :func:`_nn1_sparse_kernel`)."""
-    T = tt_ref.shape[1]
-    QT = qt_ref.shape[1]
-    n_chunks = T // t_chunk
-    folds = t_chunk // 128
+    n_chunks = tt_ref.shape[1] // t_chunk
     i = pl.program_id(0)
-
-    qx = qt_ref[0, :].reshape(QT, 1)
-    qy = qt_ref[1, :].reshape(QT, 1)
-    qz = qt_ref[2, :].reshape(QT, 1)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (QT, 128), 1)
-
-    def sweep(c, carry):
-        best_d, best_i = carry
-        base = c * t_chunk
-        tx = tt_ref[0, pl.ds(base, t_chunk)].reshape(1, t_chunk)
-        ty = tt_ref[1, pl.ds(base, t_chunk)].reshape(1, t_chunk)
-        tz = tt_ref[2, pl.ds(base, t_chunk)].reshape(1, t_chunk)
-        dx = qx - tx
-        dy = qy - ty
-        dz = qz - tz
-        d = dx * dx + dy * dy + dz * dz
-        for f in range(folds):
-            dd = d[:, f * 128 : (f + 1) * 128]
-            tk = dd < best_d
-            best_i = jnp.where(tk, lane + (base + f * 128), best_i)
-            best_d = jnp.where(tk, dd, best_d)
-        return best_d, best_i
+    qxyz, lane, init = _query_lanes(qt_ref)
 
     def body(c, carry):
         return jax.lax.cond(
-            mask_ref[i, c] != 0, lambda cr: sweep(c, cr), lambda cr: cr, carry
+            mask_ref[i, c] != 0,
+            lambda cr: _chunk_min_sweep(
+                qxyz, lane, tt_ref, c * t_chunk, t_chunk, *cr
+            ),
+            lambda cr: cr,
+            carry,
         )
 
-    init = (
-        jnp.full((QT, 128), _BIG, jnp.float32),
-        jnp.zeros((QT, 128), jnp.int32),
-    )
     best_d, best_i = jax.lax.fori_loop(0, n_chunks, body, init)
     idx_ref[:, :] = best_i
     dist_ref[:, :] = best_d

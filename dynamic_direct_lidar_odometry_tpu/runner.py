@@ -272,12 +272,18 @@ def replay(
 
         if pending is not None and not finalize(pending):
             # pending scan's pose was non-finite: restore the state from
-            # before it and discard the in-flight step built on top of it
+            # before it, discard the in-flight step built on the bad
+            # state, and RE-dispatch this scan against the restored state
+            # (its raw data is fine — only the poisoned scan is dropped)
             state = pending["prev_state"]
-            dropped += 2
+            dropped += 1
             pending = None
             last_t = None
-            continue
+            prev_state = state
+            with profiling.jax_annotation("total"):
+                state, out = pipeline.step(
+                    cfg, state, pts, msk, ts, hull_masks
+                )
         pending = {
             "i": i, "out": out, "state": state,
             "prev_state": prev_state, "stamp": float(seq.stamps[i]),

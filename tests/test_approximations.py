@@ -109,7 +109,8 @@ def _alpha_shape_boundary(pos_xy: np.ndarray, alpha: float) -> np.ndarray:
             np.linalg.norm(b - c), np.linalg.norm(a - c),
             np.linalg.norm(a - b),
         )
-        area = abs(np.cross(b - a, c - a)) / 2.0
+        ab, ac = b - a, c - a
+        area = abs(ab[0] * ac[1] - ab[1] * ac[0]) / 2.0
         R = (la * lb * lc) / (4.0 * area) if area > 1e-12 else np.inf
         if R <= alpha:
             kept.append(simplex)

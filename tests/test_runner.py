@@ -127,9 +127,10 @@ def test_nan_watchdog_rolls_back_pipelined_loop(monkeypatch):
 
     monkeypatch.setattr(runner.pipeline, "step", poisoned_step)
     res = runner.replay(cfg, seq, out_dir=None, map_capacity=20_000)
-    # poisoned scan + the in-flight successor were dropped
-    assert res.dropped_scans == 2
-    assert len(res.poses) == len(seq) - 1 - 2
+    # only the poisoned scan is dropped; its in-flight successor was
+    # re-dispatched against the restored state and kept
+    assert res.dropped_scans == 1
+    assert len(res.poses) == len(seq) - 1 - 1
     assert np.all(np.isfinite(res.poses))
 
 

@@ -71,20 +71,43 @@ def orchestrate(args) -> int:
         "--num-processes", str(args.num_processes),
         "--coordinator", f"127.0.0.1:{port}",
     ] + (["--json"] if args.json else [])
-    procs = [
-        subprocess.Popen(
-            cmd_base + ["--process-id", str(pid)],
-            env=env,
-            stdout=subprocess.PIPE if pid else None,
-            stderr=subprocess.DEVNULL if pid else None,
-            text=True,
-        )
-        for pid in range(args.num_processes)
-    ]
+    import tempfile
+
+    # non-lead workers log to temp files (an unread PIPE can fill and
+    # deadlock a chatty worker; DEVNULL would eat crash tracebacks)
+    logs = []
+    procs = []
+    for pid in range(args.num_processes):
+        if pid == 0:
+            procs.append(subprocess.Popen(
+                cmd_base + ["--process-id", "0"], env=env,
+            ))
+            logs.append(None)
+        else:
+            f = tempfile.NamedTemporaryFile(
+                mode="w+", prefix=f"ddlo_bench_p{pid}_", suffix=".log",
+                delete=False,
+            )
+            logs.append(f)
+            procs.append(subprocess.Popen(
+                cmd_base + ["--process-id", str(pid)], env=env,
+                stdout=f, stderr=subprocess.STDOUT, text=True,
+            ))
     rc = 0
     for pid, p in enumerate(procs):
         p.wait()
         rc |= p.returncode
+        if p.returncode != 0 and logs[pid] is not None:
+            logs[pid].seek(0)
+            print(
+                f"--- worker {pid} failed (rc={p.returncode}) ---\n"
+                + logs[pid].read()[-4000:],
+                file=sys.stderr,
+            )
+    for f in logs:
+        if f is not None:
+            f.close()
+            os.unlink(f.name)
     return rc
 
 

@@ -153,6 +153,33 @@ def main():
         "knn k=%d 16k x 16k" % k, knn_ops.knn, p.points, p.points, k, n=5
     )
 
+    if jax.default_backend() == "tpu":
+        # the Pallas kernel zoo: exact, fused-gather, AABB-sparse; the
+        # winners should become the defaults (CLAUDE.md perf state)
+        from dynamic_direct_lidar_odometry_tpu.ops import nn_pallas
+
+        timeit(
+            "nn1_pallas 16k x 64k", nn_pallas.nn1_pallas,
+            p.points, sub_pts, n=10,
+        )
+        r = cfg.gicp.s2m.max_correspondence_distance
+        timeit(
+            "nn1_sparse_pallas 16k x 64k (r=%.0f)" % r,
+            nn_pallas.nn1_sparse_pallas, p.points, sub_pts, radius=r, n=10,
+        )
+        timeit(
+            "nn1_gather_pallas 16k x 64k", nn_pallas.nn1_gather_pallas,
+            p.points, sub_pts, sub_covs, n=10,
+        )
+        timeit(
+            "knn_approx k=%d 16k x 16k" % k, nn_pallas.knn_approx_pallas,
+            p.points, p.points, k, n=10,
+        )
+        timeit(
+            "knn_approx pruned r=5 k=%d" % k, nn_pallas.knn_approx_pallas,
+            p.points, p.points, k, prune_radius=5.0, n=10,
+        )
+
     # detection + tracking
     seg_world = jnp.where(mask[:, None], pts, 1.0e6)
     det = timeit(

@@ -103,6 +103,12 @@ def main():
     results = {}
     for impl in args.impls.split(","):
         os.environ["DDLO_NN_IMPL"] = impl
+        # DDLO_NN_IMPL is read at TRACE time (odometry._settings); with a
+        # warm jit cache the env change would never retrace and every
+        # impl would silently time the first one's executable — clear the
+        # in-memory caches so each impl compiles its own pipeline (the
+        # persistent compile cache keeps repeat sweeps fast)
+        jax.clear_caches()
         try:
             ms = time_pipeline(cfg, scans, args.scans)
             results[impl] = round(ms, 2)

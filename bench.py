@@ -203,12 +203,17 @@ def run_timed():
         )
         scans.append((jnp.asarray(pts), jnp.asarray(mask)))
 
+    from dynamic_direct_lidar_odometry_tpu.utils import devtime
+
     state = pipeline.init_state(cfg, scans[0][0], scans[0][1], 0.0)
 
     # warm up: compile + one pass so keyframe/submap branches are realistic
     state, _ = pipeline.step(cfg, state, scans[1][0], scans[1][1],
                              jnp.float32(0.1))
-    jax.block_until_ready(state)
+    # relay gotcha: block_until_ready returns at enqueue time; the only
+    # honest sync is a device->host fetch (utils/devtime.py)
+    devtime.sync(state)
+    fetch_ov = devtime.fetch_overhead(state)
 
     n_timed = 30
     t0 = time.perf_counter()
@@ -217,8 +222,8 @@ def run_timed():
         state, out = pipeline.step(
             cfg, state, pts, mask, jnp.float32(0.2 + 0.1 * i)
         )
-    jax.block_until_ready(state)
-    dt = time.perf_counter() - t0
+    devtime.sync(state)
+    dt = max(time.perf_counter() - t0 - fetch_ov, 1e-9)
 
     hz = n_timed / dt
     print(json.dumps({

@@ -175,13 +175,17 @@ def run(args) -> None:
                 jnp.asarray(guess))
         arrs = tuple(sharding.shard_batch(mesh, a) for a in arrs)
 
+    from dynamic_direct_lidar_odometry_tpu.utils import devtime
+
     out = align(*arrs)
-    jax.block_until_ready(out)
+    # relay-honest sync (utils/devtime.py): block_until_ready returns at
+    # enqueue; close the timed region with a device->host fetch
+    fetch_ov = devtime.fetch_overhead(out)
     t0 = time.perf_counter()
     for _ in range(args.iters):
         out = align(*arrs)
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / args.iters
+    devtime.sync(out)
+    dt = max(time.perf_counter() - t0 - fetch_ov, 1e-9) / args.iters
     rps = B / dt
     conv = int(jnp.sum(out.converged))
     if lead:

@@ -17,14 +17,11 @@ import numpy as np
 
 
 def timeit(name, fn, *args, n=10, **kw):
-    out = fn(*args, **kw)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(n):
-        out = fn(*args, **kw)
-    jax.block_until_ready(out)
-    ms = (time.perf_counter() - t0) / n * 1e3
-    print(f"{name:35s} {ms:9.2f} ms")
+    # relay-honest timing (utils/devtime.py): block_until_ready returns
+    # at enqueue; close the measurement with a device->host fetch
+    from dynamic_direct_lidar_odometry_tpu.utils import devtime
+
+    _, out = devtime.timeit(fn, *args, n=n, label=name, **kw)
     return out
 
 

@@ -25,14 +25,11 @@ import numpy as np
 
 
 def timeit(name, fn, *args, n=10, **kw):
-    out = fn(*args, **kw)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(n):
-        out = fn(*args, **kw)
-    jax.block_until_ready(out)
-    ms = (time.perf_counter() - t0) / n * 1e3
-    print(f"{name:35s} {ms:9.2f} ms")
+    # device-honest timing: the relay's block_until_ready returns at
+    # enqueue time; devtime closes each measurement with a value fetch
+    from dynamic_direct_lidar_odometry_tpu.utils import devtime
+
+    _, out = devtime.timeit(fn, *args, n=n, label=name, **kw)
     return out
 
 
@@ -65,20 +62,28 @@ def main():
     print(f"devices: {jax.devices()}  scan {H}x{W}")
 
     world = synthetic.World.town(seed=3, n_static=10)
-    T = np.eye(4)
-    pts, mask = synthetic.render_scan(
-        world, T, H=H, W=W, t=0.0, rng=np.random.default_rng(0)
-    )
-    pts = jnp.asarray(pts)
-    mask = jnp.asarray(mask)
+    rng = np.random.default_rng(0)
+    poses = synthetic.circular_trajectory(4, radius=8.0, angle_span=0.2)
+    scans = [
+        tuple(map(jnp.asarray, synthetic.render_scan(
+            world, T, H=H, W=W, t=0.1 * i, rng=rng
+        )))
+        for i, T in enumerate(poses)
+    ]
+    pts, mask = scans[3]
 
-    state = pipeline.init_state(cfg, pts, mask, 0.0)
-    jax.block_until_ready(state)
+    # advance past the first-scan init branch so every stage below sees
+    # a realistic state (real prev scan, populated keyframe store)
+    state = pipeline.init_state(cfg, scans[0][0], scans[0][1], 0.0)
+    for i in (1, 2):
+        state, _ = pipeline.step(
+            cfg, state, scans[i][0], scans[i][1], jnp.float32(0.1 * i)
+        )
 
     # full pipeline step
     st2, out = timeit(
         "pipeline.step (full)", pipeline.step, cfg, state, pts, mask,
-        jnp.float32(0.1), n=5,
+        jnp.float32(0.3), n=5,
     )
 
     # odometry step alone
@@ -125,8 +130,11 @@ def main():
         state.odom.keyframe_thresh_dist,
         cfg.submap.knn, cfg.submap.kcv, cfg.submap.kcc,
     )
+    # capacity= matches odometry.step:268 — the compacted 64k submap the
+    # real S2M sweep sees, not the padded slots*kf_points buffer
     sub_pts, sub_mask, sub_covs = kfmod.gather_submap(
-        state.odom.store, sel, max_slots
+        state.odom.store, sel, max_slots,
+        capacity=cfg.capacity.max_submap_points,
     )
     jax.block_until_ready(sub_pts)
 

@@ -79,15 +79,19 @@ def time_pipeline(cfg, scans, n_timed: int):
     state, _ = pipeline.step(
         cfg, state, scans[1][0], scans[1][1], jnp.float32(0.1)
     )
-    jax.block_until_ready(state)
+    # relay-honest sync: block_until_ready returns at enqueue (devtime.py)
+    from dynamic_direct_lidar_odometry_tpu.utils import devtime
+
+    devtime.sync(state)
+    fetch_ov = devtime.fetch_overhead(state)
     t0 = time.perf_counter()
     for i in range(n_timed):
         pts, mask = scans[2 + (i % (len(scans) - 2))]
         state, out = pipeline.step(
             cfg, state, pts, mask, jnp.float32(0.2 + 0.1 * i)
         )
-    jax.block_until_ready(state)
-    dt = (time.perf_counter() - t0) / n_timed
+    devtime.sync(state)
+    dt = max(time.perf_counter() - t0 - fetch_ov, 1e-9) / n_timed
     return dt * 1e3  # ms per scan
 
 

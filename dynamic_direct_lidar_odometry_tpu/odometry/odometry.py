@@ -81,7 +81,11 @@ class OdomOutputs(NamedTuple):
 
 def _nn_impl_from_env() -> str:
     """Correspondence-backend selection: DDLO_NN_IMPL wins, the legacy
-    boolean flags map onto it, default is "auto" (Pallas exact on TPU)."""
+    boolean flags map onto it. Default is "sparse" — the TPU full-
+    pipeline winner (76.3 ms vs 81.0 ms "auto" at 64x2048 bench scale,
+    tools/tpu_sweep.py, v5e): AABB-pruned Pallas sweeps inside the LM
+    loop, exact final residual pass (gicp.align). On CPU "sparse" falls
+    back to the exact XLA sweep, so tests/golden are unaffected."""
     import os
 
     impl = os.environ.get("DDLO_NN_IMPL")
@@ -89,9 +93,7 @@ def _nn_impl_from_env() -> str:
         return impl
     if os.environ.get("DDLO_FUSED_NN") == "1":
         return "fused"
-    if os.environ.get("DDLO_SPARSE_NN") == "1":
-        return "sparse"
-    return "auto"
+    return "sparse"
 
 
 def _settings(stage, compute_residuals: bool = True) -> gicp.GICPSettings:

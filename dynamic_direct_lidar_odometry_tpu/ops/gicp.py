@@ -125,6 +125,7 @@ def _linearize(
     tgt_covs: jnp.ndarray,
     max_corr_dist: float,
     nn_impl: str = "auto",
+    prune_dilation: float = 1.0,
 ):
     """One GICP linearization at pose T.
 
@@ -165,7 +166,7 @@ def _linearize(
             from dynamic_direct_lidar_odometry_tpu.ops import nn_pallas
 
             idx, sqd = nn_pallas.nn1_sparse_pallas(
-                src_t_q, tgt_pts, radius=max_corr_dist
+                src_t_q, tgt_pts, radius=max_corr_dist * prune_dilation
             )
         elif nn_impl == "pallas" and on_tpu:
             from dynamic_direct_lidar_odometry_tpu.ops import nn_pallas
@@ -269,12 +270,15 @@ def align(
     def _allsum(x):
         return jax.lax.psum(x, axis_name) if axis_name is not None else x
 
-    def lin(T):
+    def _allsum_lin(T, nn_impl, prune_dilation=1.0):
         y0, H, b, aux = _linearize(
             T, src_pts, src_mask, src_covs, tgt_q, tgt_mask, tgt_covs,
-            s.max_correspondence_distance, s.nn_impl,
+            s.max_correspondence_distance, nn_impl, prune_dilation,
         )
         return _allsum(y0), _allsum(H), _allsum(b), aux
+
+    def lin(T):
+        return _allsum_lin(T, s.nn_impl)
 
     def lm_inner(x0, lm_lambda, y0, H, b, aux):
         """One step_lm (lsq_registration_impl.hpp:176-232): inner loop over
@@ -405,14 +409,27 @@ def align(
     # query at the final T). Skipped when the caller doesn't consume
     # residuals (the reference never calls getResiduals on gicp_s2s).
     if s.compute_residuals:
-        y_fin, H_fin, _, aux = lin(st.x0)
+        # the residual export feeds the detection module's residual image
+        # (avg_residuum thresholds, detection.cpp:700-724), so it should
+        # carry the TRUE NN distance like getResiduals (nano_gicp_impl.
+        # hpp:199-232). With the block-sparse backend, pruned points
+        # carry a saturated distance that would inflate per-segment
+        # averages ~1000x — so the one final pass dilates the pruning
+        # radius 3x (exact distances up to 3*max_corr_dist) and clamps
+        # at that boundary: a clamped outlier adds <= 3*max_corr/|seg| to
+        # a segment's avg residuum, the same order as its true distance.
+        dil = 3.0
+        if s.nn_impl == "sparse":
+            y_fin, H_fin, _, aux = _allsum_lin(
+                st.x0, s.nn_impl, prune_dilation=dil
+            )
+            res_cap = dil * s.max_correspondence_distance
+        else:
+            y_fin, H_fin, _, aux = lin(st.x0)
+            res_cap = 1.0e3  # exact backends: keep debug images renderable
         idx, valid, _, _, sqd = aux
-        # clamp: with the block-sparse NN, points with no target inside
-        # the correspondence radius carry a saturated distance (their
-        # true NN was pruned) — cap at a scene-scale bound so the debug
-        # residual image stays renderable (real distances are << 1e3 m)
         residuals = (
-            jnp.minimum(jnp.sqrt(jnp.maximum(sqd, 0.0)), 1.0e3) * src_mask
+            jnp.minimum(jnp.sqrt(jnp.maximum(sqd, 0.0)), res_cap) * src_mask
         )
         corr = jnp.where(valid, idx, -1)
         num_inliers = _allsum(jnp.sum(valid.astype(jnp.int32)))

@@ -29,7 +29,13 @@ def timeit(name, fn, *args, n=10, **kw):
     # enqueue time; devtime closes each measurement with a value fetch
     from dynamic_direct_lidar_odometry_tpu.utils import devtime
 
-    _, out = devtime.timeit(fn, *args, n=n, label=name, **kw)
+    try:
+        _, out = devtime.timeit(fn, *args, n=n, label=name, **kw)
+    except Exception as e:  # a stage OOM/compile failure shouldn't
+        # kill the rest of the profile — report and move on
+        msg = str(e).splitlines()
+        print(f"{name:<44} FAILED: {msg[-1] if msg else e!r}"[:200])
+        return None
     return out
 
 

@@ -165,7 +165,8 @@ def run_timed():
     sys.path.insert(0, REPO)
     from dynamic_direct_lidar_odometry_tpu import config as cfg_lib
     from dynamic_direct_lidar_odometry_tpu import pipeline
-    from dynamic_direct_lidar_odometry_tpu.io import synthetic
+    from dynamic_direct_lidar_odometry_tpu.io import dataset
+    from dynamic_direct_lidar_odometry_tpu.odometry import keyframes
 
     cfg = cfg_lib.doals_config()
     cfg = dataclasses.replace(
@@ -179,57 +180,64 @@ def run_timed():
             nn_chunk=2048,
         ),
     )
-    H, W = cfg.detection.rows, cfg.detection.columns
 
-    # synthetic town replay with two moving objects
-    world = synthetic.World.town(seed=3, n_static=10)
-    movers = [
-        synthetic.Box(
-            np.array([6.0, -3.0, 0.9]), np.array([0.8, 0.8, 1.8]),
-            np.array([1.2, 0.4, 0.0]),
-        ),
-        synthetic.Box(
-            np.array([-4.0, 5.0, 0.9]), np.array([0.8, 0.8, 1.8]),
-            np.array([-0.5, -1.0, 0.0]),
-        ),
+    # THE shared steady-state sequence (also used by tools/accuracy_tpu.py
+    # and tools/profile_stages.py, so the Hz and the ATE pin the same
+    # config): dense-town spiral, keyframe inserts fire throughout, >= 20
+    # active keyframes inside the timed window
+    seq = dataset.steady_state_sequence(n_scans=64)
+    scans = [
+        (jnp.asarray(seq.points[i]), jnp.asarray(seq.mask[i]))
+        for i in range(len(seq))
     ]
-    n_scans = 12
-    poses = synthetic.circular_trajectory(n_scans, radius=8.0, angle_span=0.6)
-    rng = np.random.default_rng(0)
-    scans = []
-    for i, T in enumerate(poses):
-        pts, mask = synthetic.render_scan(
-            world, T, H=H, W=W, t=0.1 * i, extra_boxes=movers, rng=rng
-        )
-        scans.append((jnp.asarray(pts), jnp.asarray(mask)))
 
     from dynamic_direct_lidar_odometry_tpu.utils import devtime
 
+    # EXACT host hull masks, like the replay driver (runner.py): refreshed
+    # one scan late so the ~0.1 ms of host geometry overlaps device compute
+    def host_hulls(st):
+        cv, cc = keyframes.exact_hull_masks(
+            np.asarray(st.odom.store.positions),
+            np.asarray(st.odom.store.valid),
+            float(np.asarray(st.odom.keyframe_thresh_dist)),
+        )
+        return (jnp.asarray(cv), jnp.asarray(cc))
+
     state = pipeline.init_state(cfg, scans[0][0], scans[0][1], 0.0)
+    hulls = host_hulls(state)
 
     # warm up: compile + one pass so keyframe/submap branches are realistic
     state, _ = pipeline.step(cfg, state, scans[1][0], scans[1][1],
-                             jnp.float32(0.1))
+                             jnp.float32(0.1), hulls)
     # relay gotcha: block_until_ready returns at enqueue time; the only
     # honest sync is a device->host fetch (utils/devtime.py)
     devtime.sync(state)
     fetch_ov = devtime.fetch_overhead(state)
 
-    n_timed = 30
+    # timed: replay the remaining 62 distinct scans (keyframe adds +
+    # submap churn + hull refresh all inside the window)
+    n_timed = len(scans) - 2
+    prev_state = state
     t0 = time.perf_counter()
     for i in range(n_timed):
-        pts, mask = scans[2 + (i % (n_scans - 2))]
+        pts, mask = scans[2 + i]
         state, out = pipeline.step(
-            cfg, state, pts, mask, jnp.float32(0.2 + 0.1 * i)
+            cfg, state, pts, mask, jnp.float32(0.2 + 0.1 * i), hulls
         )
+        # hulls for the NEXT dispatch from the state one scan back:
+        # blocks on already-finished work while this scan computes
+        hulls = host_hulls(prev_state)
+        prev_state = state
     devtime.sync(state)
     dt = max(time.perf_counter() - t0 - fetch_ov, 1e-9)
 
+    n_kf = int(np.asarray(state.odom.store.valid).sum())
     hz = n_timed / dt
     print(json.dumps({
         "metric": "ddlo_pipeline_rate",
         "value": round(hz, 3),
-        "unit": "Hz (64x2048 scans/s, full dynamic pipeline, 1 chip)",
+        "unit": "Hz (64x2048 scans/s, full dynamic pipeline, 1 chip, "
+                "steady-state %d-keyframe replay)" % n_kf,
         "vs_baseline": round(hz / 10.0, 3),
     }))
 

@@ -67,6 +67,8 @@ def _cmd_run(args: argparse.Namespace) -> int:
         progress=not args.quiet,
         dashboard_every=args.dashboard_every,
         viz_every=args.viz_every,
+        save_every=args.save_every,
+        export_clouds_every=args.export_clouds_every,
     )
     print(res.profiler.dashboard())
     print(
@@ -124,6 +126,12 @@ def main(argv=None) -> int:
     run.add_argument("--dashboard-every", type=int, default=0,
                      help="print the debug dashboard every N scans "
                           "(odom.cc:1317-1461)")
+    run.add_argument("--save-every", type=int, default=0,
+                     help="periodic map+trajectory snapshot every N scans "
+                          "(SIGUSR1 requests one on demand)")
+    run.add_argument("--export-clouds-every", type=int, default=0,
+                     help="export per-stage intermediate clouds (residual/"
+                          "static/keyframes PCDs) every N scans")
     run.add_argument("--viz-every", type=int, default=0,
                      help="write range/residual/label debug images every "
                           "N scans (detection.cpp:834-909)")

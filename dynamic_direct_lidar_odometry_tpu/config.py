@@ -472,6 +472,27 @@ def doals_config(**overrides: Any) -> DDLOConfig:
     return config_from_dict(raw, **overrides)
 
 
+def bench_config(**overrides: Any) -> DDLOConfig:
+    """The DOALS preset at the headline-bench operating point (64x2048
+    scans, 16k preprocessed points, 64k submap, 64-slot keyframe store) —
+    shared by bench.py, tools/accuracy_tpu.py and tools/profile_stages.py
+    so the perf and accuracy artifacts pin the SAME configuration."""
+    import dataclasses
+
+    cfg = doals_config(**overrides)
+    return dataclasses.replace(
+        cfg,
+        capacity=dataclasses.replace(
+            cfg.capacity,
+            max_points=16384,
+            max_submap_points=65536,
+            max_keyframes=64,
+            max_keyframe_points=8192,
+            nn_chunk=2048,
+        ),
+    )
+
+
 def kantplatz_config(**overrides: Any) -> DDLOConfig:
     """The fork's kantplatz/Azure-Kinect config (cfg/ddlo.yaml) as a preset,
     including the fork's hardcoded 512x512 segmentation window 156..356

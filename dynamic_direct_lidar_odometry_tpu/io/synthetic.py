@@ -39,18 +39,25 @@ class World:
     max_range: float = 60.0
 
     @staticmethod
-    def town(seed: int = 0, n_static: int = 12) -> "World":
-        """A small 'town': ground + walls + random static boxes."""
+    def town(seed: int = 0, n_static: int = 12, half: float = 25.0) -> "World":
+        """A small 'town': ground + walls + random static boxes.
+
+        ``half``: half-extent of the walled square. Smaller towns lower
+        the median scan range (the spaciousness metric, odom.cc:970-991)
+        and with it the adaptive keyframe distance threshold — the
+        steady-state sequences use a dense town so keyframes actually
+        accumulate at DOALS thresholds (odom.cc:1156-1178)."""
         rng = np.random.default_rng(seed)
         boxes = [
             # perimeter walls
-            Box(np.array([25.0, 0.0, 2.0]), np.array([0.5, 50.0, 4.0])),
-            Box(np.array([-25.0, 0.0, 2.0]), np.array([0.5, 50.0, 4.0])),
-            Box(np.array([0.0, 25.0, 2.0]), np.array([50.0, 0.5, 4.0])),
-            Box(np.array([0.0, -25.0, 2.0]), np.array([50.0, 0.5, 4.0])),
+            Box(np.array([half, 0.0, 2.0]), np.array([0.5, 2 * half, 4.0])),
+            Box(np.array([-half, 0.0, 2.0]), np.array([0.5, 2 * half, 4.0])),
+            Box(np.array([0.0, half, 2.0]), np.array([2 * half, 0.5, 4.0])),
+            Box(np.array([0.0, -half, 2.0]), np.array([2 * half, 0.5, 4.0])),
         ]
+        lo = max(half - 5.0, 4.0)
         for _ in range(n_static):
-            c = rng.uniform(-20, 20, 2)
+            c = rng.uniform(-lo, lo, 2)
             if np.linalg.norm(c) < 4.0:  # keep spawn area clear
                 c = c / np.linalg.norm(c) * 6.0
             sz = rng.uniform(1.0, 5.0, 2)
@@ -129,6 +136,33 @@ def render_scan(
     pts_s = dirs_s * (t_fin * rng_noise)[:, None]
     pts_s = np.where(valid[:, None], pts_s, np.nan).astype(np.float32)
     return pts_s, valid
+
+
+def spiral_trajectory(
+    n: int,
+    r0: float = 2.5,
+    r1: float = 9.0,
+    height: float = 1.5,
+    turns: float = 0.8,
+) -> List[np.ndarray]:
+    """Sensor poses along an Archimedean spiral (radius r0 -> r1 over
+    ``turns`` revolutions), heading tangent to the path. Positions never
+    repeat, so keyframe inserts keep firing over the whole run — the
+    steady-state trajectory for benches/accuracy replays (a circle stops
+    adding keyframes after one lap)."""
+    poses = []
+    for i in range(n):
+        f = i / max(n - 1, 1)
+        a = 2.0 * np.pi * turns * f
+        r = r0 + (r1 - r0) * f
+        pos = np.array([r * np.cos(a) - r0, r * np.sin(a), height])
+        yaw = a + np.pi / 2
+        c, s = np.cos(yaw), np.sin(yaw)
+        T = np.eye(4)
+        T[:3, :3] = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]])
+        T[:3, 3] = pos
+        poses.append(T)
+    return poses
 
 
 def circular_trajectory(

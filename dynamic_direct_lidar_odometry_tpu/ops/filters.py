@@ -78,27 +78,35 @@ def voxel_downsample(
       (out_points (capacity, 3) with invalid rows at SENTINEL,
        out_mask (capacity,) bool)
     """
-    # ONE argsort on a 32-bit spatial hash instead of a 3-key lexsort.
-    # Group boundaries still compare the exact integer voxel coords, so a
-    # hash collision can only SPLIT a voxel into extra centroids (if two
-    # colliding voxels interleave in the tie-order) — never merge distant
-    # points into a phantom centroid. Works for any res / world span.
-    # Hash = sequential murmur3 finalizer mixing (0 collisions measured on
-    # 8k-voxel grids; the classic Teschner xor-of-primes has linear
-    # structure and collided ~1 % there).
+    # ONE argsort on a 30-bit MORTON (z-order) key instead of a 3-key
+    # lexsort. Group boundaries still compare the exact integer voxel
+    # coords, so a key collision can only SPLIT a voxel into extra
+    # centroids (if two colliding voxels interleave in the tie-order) —
+    # never merge distant points into a phantom centroid.
+    #
+    # Morton order (vs the round-2 murmur hash key, which was spatially
+    # RANDOM) makes consecutive output points spatially local, so the
+    # fixed-size point chunks the block-sparse NN kernels AABB-prune over
+    # (ops/nn_pallas.py) are tight boxes instead of whole-cloud spans —
+    # this ordering is what makes the pruning actually skip work.
     big = jnp.int32(2**30)
     ik = jnp.floor(points / res).astype(jnp.int32)
     ik = jnp.where(mask[:, None], ik, big)  # invalid rows: distinct group
 
-    def fmix(h):
-        h = h ^ (h >> 16)
-        h = h * jnp.uint32(0x85EBCA6B)
-        h = h ^ (h >> 13)
-        h = h * jnp.uint32(0xC2B2AE35)
-        return h ^ (h >> 16)
+    # 10 bits per axis, biased by +512: voxels within +-512 cells of the
+    # origin get unique interleaved keys; coords outside clamp (their key
+    # collides but exact-coord grouping still splits them correctly —
+    # only the ordering quality degrades out there).
+    u = jnp.clip(ik + 512, 0, 1023).astype(jnp.uint32)
 
-    u = ik.astype(jnp.uint32)
-    key = fmix(fmix(fmix(u[:, 0]) ^ u[:, 1]) ^ u[:, 2])
+    def spread3(v):  # spread 10 bits so consecutive bits are 3 apart
+        v = (v | (v << 16)) & jnp.uint32(0x030000FF)
+        v = (v | (v << 8)) & jnp.uint32(0x0300F00F)
+        v = (v | (v << 4)) & jnp.uint32(0x030C30C3)
+        v = (v | (v << 2)) & jnp.uint32(0x09249249)
+        return v
+
+    key = (spread3(u[:, 0]) << 2) | (spread3(u[:, 1]) << 1) | spread3(u[:, 2])
     key = jnp.where(mask, key, jnp.uint32(0xFFFFFFFF))  # invalid sort last
 
     order = jnp.argsort(key)

@@ -55,8 +55,18 @@ def knn_best(query: jnp.ndarray, target: jnp.ndarray, k: int):
     """k-NN for covariance neighborhoods: lane-class-approximate Pallas
     kernel on TPU (see :func:`nn_pallas.knn_approx_pallas` for the error
     model — benign for PLANE-regularized covariances), exact XLA sweep
-    elsewhere (including the CPU test meshes)."""
-    if jax.default_backend() == "tpu" and k <= 128:
+    elsewhere (including the CPU test meshes).
+
+    ``DDLO_KNN_IMPL=exact`` (trace-time env) forces the exact sweep on
+    TPU too — tools/accuracy_tpu.py uses it to measure the end-to-end
+    ATE cost of the approximate default."""
+    import os
+
+    if (
+        jax.default_backend() == "tpu"
+        and k <= 128
+        and os.environ.get("DDLO_KNN_IMPL", "auto") != "exact"
+    ):
         from dynamic_direct_lidar_odometry_tpu.ops import nn_pallas
 
         return nn_pallas.knn_approx_pallas(query, target, k)

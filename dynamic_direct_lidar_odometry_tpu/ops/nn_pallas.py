@@ -301,32 +301,42 @@ def nn1_gather_pallas(
     return idx, sqd, B, covB
 
 
-def _nn1_sparse_kernel(
-    mask_ref, qt_ref, tt_ref, idx_ref, dist_ref, *, t_chunk: int
-):
-    """Block-sparse 1-NN: like :func:`_nn1_kernel` but target chunks whose
-    bounding box is farther than the correspondence radius from this query
-    tile's box are skipped (``lax.cond`` on a host-precomputed overlap
-    mask in SMEM).
+def _sparse_chunk_lists(overlap: jnp.ndarray):
+    """(n_tiles, n_chunks) bool overlap mask -> per-tile ASCENDING active
+    chunk-id lists + counts (CSR-style, padded with n_chunks — never
+    dereferenced because the kernels loop ``j < count``). Ascending order
+    preserves the sequential-sweep tie semantics (earliest target index
+    wins)."""
+    n_chunks = overlap.shape[1]
+    ids = jnp.broadcast_to(
+        jnp.arange(n_chunks, dtype=jnp.int32), overlap.shape
+    )
+    lst = jnp.sort(jnp.where(overlap, ids, jnp.int32(n_chunks)), axis=1)
+    counts = jnp.sum(overlap.astype(jnp.int32), axis=1)
+    return counts, lst
 
-    mask_ref: (n_tiles, n_chunks) int32 scalar-prefetch overlap mask
-    qt_ref: (3, QT) query tile    tt_ref: (3, T) full target
+
+def _nn1_sparse_kernel(
+    cnt_ref, lst_ref, qt_ref, tt_ref, idx_ref, dist_ref, *, t_chunk: int
+):
+    """Block-sparse 1-NN: like :func:`_nn1_kernel` but the chunk loop runs
+    ONLY over this query tile's active chunks (a host-precomputed
+    ascending index list in SMEM with a dynamic trip count) — work is
+    proportional to the AABB-overlap density instead of paying a
+    ``lax.cond`` branch per pruned chunk, which measured nearly as
+    expensive as the sweep it skipped (~6 vs 8 ms at 4-6 % density).
+
+    cnt_ref: (n_tiles,) int32   lst_ref: (n_tiles, n_chunks) int32
+    qt_ref: (3, QT) query tile  tt_ref: (3, T) full target
     """
-    n_chunks = tt_ref.shape[1] // t_chunk
     i = pl.program_id(0)
     qxyz, lane, init = _query_lanes(qt_ref)
 
-    def body(c, carry):
-        return jax.lax.cond(
-            mask_ref[i, c] != 0,
-            lambda cr: _chunk_min_sweep(
-                qxyz, lane, tt_ref, c * t_chunk, t_chunk, *cr
-            ),
-            lambda cr: cr,
-            carry,
-        )
+    def body(j, carry):
+        base = lst_ref[i, j] * t_chunk
+        return _chunk_min_sweep(qxyz, lane, tt_ref, base, t_chunk, *carry)
 
-    best_d, best_i = jax.lax.fori_loop(0, n_chunks, body, init)
+    best_d, best_i = jax.lax.fori_loop(0, cnt_ref[i], body, init)
     _argmin_epilogue(best_d, best_i, idx_ref, dist_ref)
 
 
@@ -345,11 +355,12 @@ def nn1_sparse_pallas(
 
     Pruning: per query-TILE and target-CHUNK axis-aligned bounding boxes
     (computed in XLA) are tested for overlap dilated by ``radius``; the
-    kernel skips non-overlapping chunks. Point clouds arrive voxel-hash
-    ordered (filters.voxel_downsample's single sort), so consecutive
-    chunks are spatially compact and the boxes are tight — no extra sort
-    is needed. At DOALS submap scale this skips the large majority of
-    the 1e9-element distance sweep (the pipeline's dominant cost).
+    kernel loops only over each tile's surviving chunk list. Point
+    clouds arrive MORTON-ordered (filters.voxel_downsample's single
+    z-order sort), so consecutive chunks are spatially compact and the
+    boxes are tight. At DOALS submap scale the overlap density is
+    ~4-10 %, turning the 1e9-element distance sweep (the pipeline's
+    dominant cost) into a proportional sweep of the surviving blocks.
     """
     Q = query.shape[0]
     Tn = target.shape[0]
@@ -375,30 +386,33 @@ def nn1_sparse_pallas(
         & (q_hi[:, None, :] + radius >= t_lo[None, :, :]),
         axis=-1,
     )
-    mask = overlap.astype(jnp.int32)  # (n_tiles, n_chunks)
+    counts, lst = _sparse_chunk_lists(overlap)
 
     grid = (n_tiles,)
     rows = q_tile // 128
     idx, dist = pl.pallas_call(
         partial(_nn1_sparse_kernel, t_chunk=t_chunk),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
+            num_scalar_prefetch=2,
             grid=grid,
-            # index maps receive the scalar-prefetch ref as a trailing arg
+            # index maps receive the scalar-prefetch refs as trailing args
             in_specs=[
                 pl.BlockSpec(
-                    (3, q_tile), lambda i, m: (0, i), memory_space=pltpu.VMEM
+                    (3, q_tile), lambda i, c, l: (0, i),
+                    memory_space=pltpu.VMEM,
                 ),
                 pl.BlockSpec(
-                    (3, Tp), lambda i, m: (0, 0), memory_space=pltpu.VMEM
+                    (3, Tp), lambda i, c, l: (0, 0), memory_space=pltpu.VMEM
                 ),
             ],
             out_specs=[
                 pl.BlockSpec(
-                    (rows, 128), lambda i, m: (i, 0), memory_space=pltpu.VMEM
+                    (rows, 128), lambda i, c, l: (i, 0),
+                    memory_space=pltpu.VMEM,
                 ),
                 pl.BlockSpec(
-                    (rows, 128), lambda i, m: (i, 0), memory_space=pltpu.VMEM
+                    (rows, 128), lambda i, c, l: (i, 0),
+                    memory_space=pltpu.VMEM,
                 ),
             ],
         ),
@@ -406,7 +420,7 @@ def nn1_sparse_pallas(
             jax.ShapeDtypeStruct((Qp // 128, 128), jnp.int32),
             jax.ShapeDtypeStruct((Qp // 128, 128), jnp.float32),
         ],
-    )(mask, q.T, t.T)
+    )(counts, lst, q.T, t.T)
 
     idx = jnp.minimum(idx.reshape(-1)[:Q], Tn - 1)
     sqd = dist.reshape(-1)[:Q]
@@ -431,26 +445,19 @@ def _nn_classes_kernel(qt_ref, tt_ref, idx_ref, dist_ref, *, t_chunk: int):
 
 
 def _nn_classes_sparse_kernel(
-    mask_ref, qt_ref, tt_ref, idx_ref, dist_ref, *, t_chunk: int
+    cnt_ref, lst_ref, qt_ref, tt_ref, idx_ref, dist_ref, *, t_chunk: int
 ):
-    """AABB-pruned variant of :func:`_nn_classes_kernel` — target chunks
-    farther than the prune radius from the query tile's box are skipped
-    (same scalar-prefetch mask scheme as :func:`_nn1_sparse_kernel`)."""
-    n_chunks = tt_ref.shape[1] // t_chunk
+    """AABB-pruned variant of :func:`_nn_classes_kernel` — the chunk loop
+    runs only over this tile's active chunk list (same scalar-prefetch
+    CSR scheme as :func:`_nn1_sparse_kernel`)."""
     i = pl.program_id(0)
     qxyz, lane, init = _query_lanes(qt_ref)
 
-    def body(c, carry):
-        return jax.lax.cond(
-            mask_ref[i, c] != 0,
-            lambda cr: _chunk_min_sweep(
-                qxyz, lane, tt_ref, c * t_chunk, t_chunk, *cr
-            ),
-            lambda cr: cr,
-            carry,
-        )
+    def body(j, carry):
+        base = lst_ref[i, j] * t_chunk
+        return _chunk_min_sweep(qxyz, lane, tt_ref, base, t_chunk, *carry)
 
-    best_d, best_i = jax.lax.fori_loop(0, n_chunks, body, init)
+    best_d, best_i = jax.lax.fori_loop(0, cnt_ref[i], body, init)
     idx_ref[:, :] = best_i
     dist_ref[:, :] = best_d
 
@@ -532,33 +539,35 @@ def knn_approx_pallas(
             & (qb.max(axis=1)[:, None, :] + prune_radius >= tb.min(axis=1)[None]),
             axis=-1,
         )
+        counts, lst = _sparse_chunk_lists(overlap)
         idx, dist = pl.pallas_call(
             partial(_nn_classes_sparse_kernel, t_chunk=t_chunk),
             grid_spec=pltpu.PrefetchScalarGridSpec(
-                num_scalar_prefetch=1,
+                num_scalar_prefetch=2,
                 grid=grid,
                 in_specs=[
                     pl.BlockSpec(
-                        (3, q_tile), lambda i, m: (0, i),
+                        (3, q_tile), lambda i, c, l: (0, i),
                         memory_space=pltpu.VMEM,
                     ),
                     pl.BlockSpec(
-                        (3, Tp), lambda i, m: (0, 0), memory_space=pltpu.VMEM
+                        (3, Tp), lambda i, c, l: (0, 0),
+                        memory_space=pltpu.VMEM,
                     ),
                 ],
                 out_specs=[
                     pl.BlockSpec(
-                        (q_tile, 128), lambda i, m: (i, 0),
+                        (q_tile, 128), lambda i, c, l: (i, 0),
                         memory_space=pltpu.VMEM,
                     ),
                     pl.BlockSpec(
-                        (q_tile, 128), lambda i, m: (i, 0),
+                        (q_tile, 128), lambda i, c, l: (i, 0),
                         memory_space=pltpu.VMEM,
                     ),
                 ],
             ),
             out_shape=out_shape,
-        )(overlap.astype(jnp.int32), q.T, t.T)
+        )(counts, lst, q.T, t.T)
 
     nd, pos = jax.lax.top_k(-dist[:Q], k)  # ascending distances
     ki = jnp.take_along_axis(idx[:Q], pos, axis=1)

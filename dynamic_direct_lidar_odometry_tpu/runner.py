@@ -75,8 +75,27 @@ def replay(
     progress: bool = False,
     dashboard_every: int = 0,
     viz_every: int = 0,
+    save_every: int = 0,
+    export_clouds_every: int = 0,
 ) -> ReplayResult:
-    """Run the full DDLO node graph over a scan sequence."""
+    """Run the full DDLO node graph over a scan sequence.
+
+    Mid-run artifact surface (the reference's services + rviz topics,
+    which fire at ANY time during a run — map.cc:44,
+    trajectories_server.cpp:24-25, odom.cc:43-52):
+
+    - ``save_every=N``: every N scans, snapshot the map + trajectories
+      into ``out_dir`` tagged with the scan index (periodic ``save_pcd``
+      / ``save_trajectories``).
+    - ``SIGUSR1``: requests the same snapshot on demand at the next scan
+      (``kill -USR1 <pid>`` replaces the ROS service call).
+    - ``export_clouds_every=N``: every N scans, export the per-stage
+      intermediate clouds (S2M residual cloud with residual intensity,
+      dynamic-free static cloud, keyframe positions) as PCDs under
+      ``out_dir/clouds/`` — the offline analogue of the reference's
+      per-stage rviz topics (odom.cc:43-52, gated on subscribers there,
+      on the export period here).
+    """
     # config-driven evaluation dumps (odomNode/evaluation/*, the YAML way
     # of enabling what the `evaluate` kwarg enables)
     if cfg.evaluate:
@@ -145,6 +164,34 @@ def replay(
         return (jnp.asarray(cv), jnp.asarray(cc))
 
     hull_masks = host_hulls(state)
+
+    # on-demand snapshot flag, set by SIGUSR1 (the save_pcd /
+    # save_trajectories service surface) and consumed at the next finalize
+    save_requested = {"flag": False}
+    prev_usr1 = None
+    if out_dir:
+        import signal
+
+        def _on_usr1(signum, frame):
+            save_requested["flag"] = True
+
+        try:
+            prev_usr1 = signal.signal(signal.SIGUSR1, _on_usr1)
+        except ValueError:  # not on the main thread: signals unavailable
+            prev_usr1 = None
+
+    def save_snapshot(tag: str) -> None:
+        """Map + trajectory snapshot (save_pcd service, map.cc:158-189;
+        save_trajectories, trajectories_server.cpp:83-124)."""
+        snap_pts, snap_mask = mapper.snapshot(
+            map_state, cfg.map.leaf_size, map_capacity
+        )
+        pcd_io.save_pcd(
+            os.path.join(out_dir, f"map_{tag}.pcd"),
+            np.asarray(snap_pts), np.asarray(snap_mask),
+        )
+        pose_rec.save(os.path.join(out_dir, f"trajectory_tum_{tag}.txt"))
+        obj_trajs.save(os.path.join(out_dir, f"object_traj_{tag}"))
 
     def finalize(p) -> bool:
         """Host + map bookkeeping for an already-dispatched scan. The
@@ -219,6 +266,34 @@ def replay(
             # reference evaluation dump (detection.cpp:936-952):
             # %04d.txt dynamic indices + poses.txt nsec/4x4 append
             eval_dump.frame(i, np.nonzero(dyn_np)[0], p["stamp"], T_np)
+
+        if out_dir and export_clouds_every and i % export_clouds_every == 0:
+            # per-stage intermediate clouds (rviz-topic analogue,
+            # odom.cc:43-52): S2M residual cloud, static cloud, keyframes
+            cdir = os.path.join(out_dir, "clouds")
+            os.makedirs(cdir, exist_ok=True)
+            pcd_io.save_pcd(
+                os.path.join(cdir, f"{i:05d}_residuals.pcd"),
+                np.asarray(out.odom.reg_points_world),
+                np.asarray(out.odom.reg_mask),
+                intensity=np.asarray(out.odom.residuals),
+            )
+            pcd_io.save_pcd(
+                os.path.join(cdir, f"{i:05d}_static.pcd"),
+                np.asarray(out.static_points),
+                np.asarray(out.static_mask),
+            )
+            pcd_io.save_pcd(
+                os.path.join(cdir, f"{i:05d}_keyframes.pcd"),
+                np.asarray(st.odom.store.positions),
+                np.asarray(st.odom.store.valid),
+            )
+
+        if out_dir and (
+            save_requested["flag"] or (save_every and i % save_every == 0)
+        ):
+            save_requested["flag"] = False
+            save_snapshot(f"{i:05d}")
 
         if checkpoint_every and out_dir and i % checkpoint_every == 0:
             ckpt.save(
@@ -295,6 +370,11 @@ def replay(
         if last_t is not None:
             prof["total"].add((time.perf_counter() - last_t) * 1e3)
 
+    if prev_usr1 is not None:
+        import signal
+
+        signal.signal(signal.SIGUSR1, prev_usr1)
+
     # keyframe-store saturation telemetry (the store overwrites its last
     # slot once full — silent in round 1, now surfaced)
     kf_overflow = int(np.asarray(keyframes.overflow_count(state.odom.store)))
@@ -334,6 +414,33 @@ def replay(
     )
 
 
+def _cpu_stats() -> tuple:
+    """Process CPU utilization since the previous call, plus core
+    count/model — the reference dashboard's CPU block (odom.cc:1430-1458,
+    via times()/cpuid there)."""
+    t = os.times()
+    cpu = t.user + t.system
+    now = time.monotonic()
+    prev = getattr(_cpu_stats, "_prev", None)
+    _cpu_stats._prev = (cpu, now)
+    pct = 0.0
+    if prev is not None and now > prev[1]:
+        pct = 100.0 * (cpu - prev[0]) / (now - prev[1])
+    model = getattr(_cpu_stats, "_model", None)
+    if model is None:
+        model = "unknown cpu"
+        try:
+            with open("/proc/cpuinfo") as f:
+                for line in f:
+                    if line.startswith("model name"):
+                        model = line.split(":", 1)[1].strip()
+                        break
+        except OSError:
+            pass
+        _cpu_stats._model = model
+    return pct, os.cpu_count() or 1, model
+
+
 def debug_dashboard(
     prof: profiling.Profiler,
     scan_idx: int,
@@ -366,6 +473,8 @@ def debug_dashboard(
         % (quat[0], quat[1], quat[2], quat[3]),
         "| keyframes %5d   map %9d pts   tracks %3d   dyn px %5d"
         % (num_keyframes, map_points, active_tracks, dynamic_pixels),
+        "| host cpu %5.1f %% of %d cores (%.28s)"
+        % _cpu_stats(),
         "+" + "-" * 62 + "+",
         prof.dashboard(),
     ]

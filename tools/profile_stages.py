@@ -9,7 +9,6 @@ stage taxonomy (SURVEY.md §5). Run on the real chip:
 
 from __future__ import annotations
 
-import dataclasses
 import os
 import sys
 import time
@@ -43,7 +42,7 @@ def main():
     from dynamic_direct_lidar_odometry_tpu import config as cfg_lib
     from dynamic_direct_lidar_odometry_tpu import pipeline
     from dynamic_direct_lidar_odometry_tpu.detection import detection
-    from dynamic_direct_lidar_odometry_tpu.io import synthetic
+    from dynamic_direct_lidar_odometry_tpu.io import dataset
     from dynamic_direct_lidar_odometry_tpu.odometry import (
         keyframes as kfmod,
         odometry,
@@ -52,44 +51,32 @@ def main():
     from dynamic_direct_lidar_odometry_tpu.ops import covariance, filters, gicp
     from dynamic_direct_lidar_odometry_tpu.tracking import tracker
 
-    cfg = cfg_lib.doals_config()
-    cfg = dataclasses.replace(
-        cfg,
-        capacity=dataclasses.replace(
-            cfg.capacity,
-            max_points=16384,
-            max_submap_points=65536,
-            max_keyframes=64,
-            max_keyframe_points=8192,
-            nn_chunk=2048,
-        ),
-    )
+    cfg = cfg_lib.bench_config()
     H, W = cfg.detection.rows, cfg.detection.columns
     print(f"devices: {jax.devices()}  scan {H}x{W}")
 
-    world = synthetic.World.town(seed=3, n_static=10)
-    rng = np.random.default_rng(0)
-    poses = synthetic.circular_trajectory(4, radius=8.0, angle_span=0.2)
+    # the shared bench/accuracy sequence, replayed to a POPULATED store
+    # (>= 20 keyframes) so the S2M stage sees the steady-state submap the
+    # headline bench sees, not a 1-keyframe toy
+    seq = dataset.steady_state_sequence(n_scans=48)
     scans = [
-        tuple(map(jnp.asarray, synthetic.render_scan(
-            world, T, H=H, W=W, t=0.1 * i, rng=rng
-        )))
-        for i, T in enumerate(poses)
+        (jnp.asarray(seq.points[i]), jnp.asarray(seq.mask[i]))
+        for i in range(len(seq))
     ]
-    pts, mask = scans[3]
+    pts, mask = scans[-1]
 
-    # advance past the first-scan init branch so every stage below sees
-    # a realistic state (real prev scan, populated keyframe store)
     state = pipeline.init_state(cfg, scans[0][0], scans[0][1], 0.0)
-    for i in (1, 2):
+    for i in range(1, len(scans) - 1):
         state, _ = pipeline.step(
             cfg, state, scans[i][0], scans[i][1], jnp.float32(0.1 * i)
         )
+    n_kf = int(jnp.sum(state.odom.store.valid))
+    print(f"advanced {len(scans) - 2} scans; active keyframes: {n_kf}")
 
     # full pipeline step
     st2, out = timeit(
         "pipeline.step (full)", pipeline.step, cfg, state, pts, mask,
-        jnp.float32(0.3), n=5,
+        jnp.float32(0.1 * len(scans)), n=5,
     )
 
     # odometry step alone
@@ -106,11 +93,15 @@ def main():
         covariance.plane_covariances, p.points, p.mask, k=k, n=5,
     )
 
+    nn_impl = odometry._nn_impl_from_env()
+    print(f"nn_impl: {nn_impl}")
+
     def s2s_settings():
         return gicp.GICPSettings(
             max_correspondence_distance=cfg.gicp.s2s.max_correspondence_distance,
             max_iterations=cfg.gicp.s2s.max_iterations,
             lm_max_iterations=cfg.gicp.s2s.lm_max_iterations,
+            nn_impl=nn_impl,
         )
 
     s2s = timeit(
@@ -149,6 +140,7 @@ def main():
             max_correspondence_distance=cfg.gicp.s2m.max_correspondence_distance,
             max_iterations=cfg.gicp.s2m.max_iterations,
             lm_max_iterations=cfg.gicp.s2m.lm_max_iterations,
+            nn_impl=nn_impl,
         )
 
     s2m = timeit(

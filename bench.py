@@ -142,8 +142,6 @@ def orchestrate():
 
 def run_timed():
     """The actual measurement (runs in the watchdog-guarded child)."""
-    import dataclasses
-
     import numpy as np
     import jax
 
@@ -168,64 +166,61 @@ def run_timed():
     from dynamic_direct_lidar_odometry_tpu.io import dataset
     from dynamic_direct_lidar_odometry_tpu.odometry import keyframes
 
-    cfg = cfg_lib.doals_config()
-    cfg = dataclasses.replace(
-        cfg,
-        capacity=dataclasses.replace(
-            cfg.capacity,
-            max_points=16384,
-            max_submap_points=65536,
-            max_keyframes=64,
-            max_keyframe_points=8192,
-            nn_chunk=2048,
-        ),
-    )
+    cfg = cfg_lib.bench_config()
 
     # THE shared steady-state sequence (also used by tools/accuracy_tpu.py
     # and tools/profile_stages.py, so the Hz and the ATE pin the same
     # config): dense-town spiral, keyframe inserts fire throughout, >= 20
     # active keyframes inside the timed window
+    K = 8  # scans per dispatch (pipeline.step_chunk)
     seq = dataset.steady_state_sequence(n_scans=64)
-    scans = [
-        (jnp.asarray(seq.points[i]), jnp.asarray(seq.mask[i]))
-        for i in range(len(seq))
-    ]
+
+    def chunk_args(lo):  # scans [lo, lo+K) as stacked device arrays
+        return (
+            jnp.asarray(seq.points[lo : lo + K]),
+            jnp.asarray(seq.mask[lo : lo + K]),
+            jnp.asarray(seq.stamps[lo : lo + K], dtype=jnp.float32),
+        )
 
     from dynamic_direct_lidar_odometry_tpu.utils import devtime
 
-    # EXACT host hull masks, like the replay driver (runner.py): refreshed
-    # one scan late so the ~0.1 ms of host geometry overlaps device compute
+    # EXACT host hull masks, like the replay driver (runner.py), refreshed
+    # once per chunk from the previous chunk's final state (one packed
+    # device->host fetch; relay round trips are latency)
     def host_hulls(st):
-        cv, cc = keyframes.exact_hull_masks(
-            np.asarray(st.odom.store.positions),
-            np.asarray(st.odom.store.valid),
-            float(np.asarray(st.odom.keyframe_thresh_dist)),
+        cv, cc = keyframes.exact_hull_masks_packed(
+            keyframes.packed_hull_inputs(
+                st.odom.store, st.odom.keyframe_thresh_dist
+            )
         )
         return (jnp.asarray(cv), jnp.asarray(cc))
 
-    state = pipeline.init_state(cfg, scans[0][0], scans[0][1], 0.0)
+    state = pipeline.init_state(
+        cfg, jnp.asarray(seq.points[0]), jnp.asarray(seq.mask[0]), 0.0
+    )
     hulls = host_hulls(state)
 
-    # warm up: compile + one pass so keyframe/submap branches are realistic
-    state, _ = pipeline.step(cfg, state, scans[1][0], scans[1][1],
-                             jnp.float32(0.1), hulls)
+    # warm up: compile the chunked transition + populate store branches
+    state, _ = pipeline.step_chunk(cfg, state, *chunk_args(1), hulls)
+    hulls = host_hulls(state)
     # relay gotcha: block_until_ready returns at enqueue time; the only
     # honest sync is a device->host fetch (utils/devtime.py)
     devtime.sync(state)
     fetch_ov = devtime.fetch_overhead(state)
 
-    # timed: replay the remaining 62 distinct scans (keyframe adds +
-    # submap churn + hull refresh all inside the window)
-    n_timed = len(scans) - 2
+    # timed: replay the remaining 56 distinct scans in 7 chunked
+    # dispatches (keyframe adds + submap churn + hull refresh inside the
+    # window; the scan loop inside each chunk is strictly sequential)
+    n_chunks = (len(seq) - 1 - K) // K
+    n_timed = n_chunks * K
     prev_state = state
     t0 = time.perf_counter()
-    for i in range(n_timed):
-        pts, mask = scans[2 + i]
-        state, out = pipeline.step(
-            cfg, state, pts, mask, jnp.float32(0.2 + 0.1 * i), hulls
+    for c in range(n_chunks):
+        state, out = pipeline.step_chunk(
+            cfg, state, *chunk_args(1 + K + c * K), hulls
         )
-        # hulls for the NEXT dispatch from the state one scan back:
-        # blocks on already-finished work while this scan computes
+        # hulls for the NEXT chunk from the previous chunk's final state:
+        # blocks on already-finished work while this chunk computes
         hulls = host_hulls(prev_state)
         prev_state = state
     devtime.sync(state)
@@ -237,7 +232,8 @@ def run_timed():
         "metric": "ddlo_pipeline_rate",
         "value": round(hz, 3),
         "unit": "Hz (64x2048 scans/s, full dynamic pipeline, 1 chip, "
-                "steady-state %d-keyframe replay)" % n_kf,
+                "steady-state %d-keyframe replay, %d-scan dispatch "
+                "chunks)" % (n_kf, K),
         "vs_baseline": round(hz / 10.0, 3),
     }))
 

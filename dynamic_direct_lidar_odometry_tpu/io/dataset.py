@@ -127,8 +127,20 @@ def steady_state_sequence(
     Used by bench.py, tools/accuracy_tpu.py and tools/profile_stages.py
     so the perf number and the ATE number pin the SAME configuration
     (same world, same trajectory, same hull source).
+
+    Ray-casting 64 panoramic scans costs ~1 min of host time, so the
+    generated sequence is cached under /tmp keyed by its parameters.
     """
+    import os
+
     from dynamic_direct_lidar_odometry_tpu.io import synthetic
+
+    cache = f"/tmp/ddlo_steady_{n_scans}_{H}x{W}_s{seed}_dt{dt}.npz"
+    if os.path.exists(cache):
+        try:
+            return ScanSequence.load(cache)
+        except Exception:
+            pass  # corrupt/partial cache: regenerate
 
     rng = np.random.default_rng(seed)
     # median scan range ~7 m in the 30x30 town -> adaptive keyframe
@@ -153,7 +165,7 @@ def steady_state_sequence(
         )
         pts_all.append(pts)
         mask_all.append(mask)
-    return ScanSequence(
+    seq = ScanSequence(
         points=np.stack(pts_all),
         mask=np.stack(mask_all),
         stamps=np.arange(n_scans, dtype=np.float64) * dt,
@@ -161,6 +173,13 @@ def steady_state_sequence(
         W=W,
         gt_poses=np.stack(poses),
     )
+    try:
+        tmp = cache[: -len(".npz")] + f".tmp{os.getpid()}.npz"
+        seq.save(tmp)
+        os.replace(tmp, cache)  # atomic: concurrent tools can't half-read
+    except OSError:
+        pass
+    return seq
 
 
 def convert_rosbag(

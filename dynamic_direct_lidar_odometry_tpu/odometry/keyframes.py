@@ -179,6 +179,30 @@ def concave_hull_mask(
     return jnp.where(n >= 5, boundary, jnp.zeros((K,), bool))
 
 
+@jax.jit
+def packed_hull_inputs(store, thresh) -> jnp.ndarray:
+    """Pack (positions, valid, thresh) into ONE (K, 5) device array so
+    the replay/bench host loop fetches the exact-hull inputs in a single
+    device->host round trip — through the TPU relay each fetch is real
+    latency, and three per scan measurably eat into the overlap window
+    (runner.py's pipelined bookkeeping)."""
+    K = store.positions.shape[0]
+    return jnp.concatenate(
+        [
+            store.positions,
+            store.valid[:, None].astype(jnp.float32),
+            jnp.full((K, 1), thresh, jnp.float32),
+        ],
+        axis=1,
+    )
+
+
+def exact_hull_masks_packed(packed: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Host side of :func:`packed_hull_inputs`."""
+    buf = np.asarray(packed)
+    return exact_hull_masks(buf[:, :3], buf[:, 3] > 0.5, float(buf[0, 4]))
+
+
 def exact_hull_masks(
     positions: np.ndarray, valid: np.ndarray, alpha: float
 ) -> Tuple[np.ndarray, np.ndarray]:

@@ -91,8 +91,6 @@ def _nn_impl_from_env() -> str:
     impl = os.environ.get("DDLO_NN_IMPL")
     if impl:
         return impl
-    if os.environ.get("DDLO_FUSED_NN") == "1":
-        return "fused"
     return "sparse"
 
 

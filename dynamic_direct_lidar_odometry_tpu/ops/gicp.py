@@ -61,11 +61,9 @@ class GICPSettings(NamedTuple):
     record_trace: bool = False
     # correspondence-search backend: "auto" (Pallas exact on TPU, XLA
     # sweep elsewhere), "exact" (XLA sweep), "pallas" (exact Pallas),
-    # "fused" (Pallas fold carrying winner coords+covs — no HBM
-    # gathers), "sparse" (AABB-pruned Pallas sweep, exact within
+    # "sparse" (AABB-pruned Pallas sweep, exact within
     # max_correspondence_distance). Compile-time static; the odometry
-    # layer maps the DDLO_NN_IMPL / DDLO_FUSED_NN / DDLO_SPARSE_NN env
-    # vars onto this once.
+    # layer maps the DDLO_NN_IMPL env var onto this once.
     nn_impl: str = "auto"
 
 
@@ -147,39 +145,28 @@ def _linearize(
     src_t_q = jnp.where(src_mask[:, None], src_t, SENTINEL)
 
     on_tpu = jax.default_backend() == "tpu"
-    if nn_impl == "fused" and on_tpu:
-        # fused kernel: winner coords + covariance come out of the NN
-        # fold, no tgt[idx]/tgt_covs[idx] HBM gathers
+    if nn_impl == "sparse" and on_tpu:
+        # block-sparse sweep: target chunks outside the
+        # correspondence radius of a query tile are skipped — exact
+        # for every pair the max_corr_dist gate keeps (distances of
+        # gated-out points saturate; only the debug image sees them)
         from dynamic_direct_lidar_odometry_tpu.ops import nn_pallas
 
-        idx, sqd, B, cov_B = nn_pallas.nn1_gather_pallas(
-            src_t_q, tgt_pts, tgt_covs
+        idx, sqd = nn_pallas.nn1_sparse_pallas(
+            src_t_q, tgt_pts, radius=max_corr_dist * prune_dilation
         )
-        valid = src_mask & tgt_mask[idx] & (sqd < max_corr_dist * max_corr_dist)
-        vf = valid.astype(src_pts.dtype)
-    else:
-        if nn_impl == "sparse" and on_tpu:
-            # block-sparse sweep: target chunks outside the
-            # correspondence radius of a query tile are skipped — exact
-            # for every pair the max_corr_dist gate keeps (distances of
-            # gated-out points saturate; only the debug image sees them)
-            from dynamic_direct_lidar_odometry_tpu.ops import nn_pallas
+    elif nn_impl == "pallas" and on_tpu:
+        from dynamic_direct_lidar_odometry_tpu.ops import nn_pallas
 
-            idx, sqd = nn_pallas.nn1_sparse_pallas(
-                src_t_q, tgt_pts, radius=max_corr_dist * prune_dilation
-            )
-        elif nn_impl == "pallas" and on_tpu:
-            from dynamic_direct_lidar_odometry_tpu.ops import nn_pallas
-
-            idx, sqd = nn_pallas.nn1_pallas(src_t_q, tgt_pts)
-        elif nn_impl == "exact":
-            idx, sqd = knn_ops.nn1(src_t_q, tgt_pts)
-        else:  # "auto": Pallas exact on TPU, XLA sweep elsewhere
-            idx, sqd = knn_ops.nn1_best(src_t_q, tgt_pts)
-        valid = src_mask & tgt_mask[idx] & (sqd < max_corr_dist * max_corr_dist)
-        vf = valid.astype(src_pts.dtype)
-        cov_B = tgt_covs[idx]
-        B = tgt_pts[idx]
+        idx, sqd = nn_pallas.nn1_pallas(src_t_q, tgt_pts)
+    elif nn_impl == "exact":
+        idx, sqd = knn_ops.nn1(src_t_q, tgt_pts)
+    else:  # "auto": Pallas exact on TPU, XLA sweep elsewhere
+        idx, sqd = knn_ops.nn1_best(src_t_q, tgt_pts)
+    valid = src_mask & tgt_mask[idx] & (sqd < max_corr_dist * max_corr_dist)
+    vf = valid.astype(src_pts.dtype)
+    cov_B = tgt_covs[idx]
+    B = tgt_pts[idx]
     RCAR = jnp.einsum("ij,njk,lk->nil", R, src_covs, R, precision=hp)
     M = inv3x3(cov_B + RCAR)  # (N, 3, 3) mahalanobis weights
 

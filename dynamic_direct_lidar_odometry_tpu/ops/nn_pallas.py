@@ -17,8 +17,9 @@ differencing (exact in f32, no catastrophic ||q||^2+||t||^2-2qt
 cancellation, no MXU pass needed — K=3 would waste 97 % of the systolic
 array anyway; the VPU does 8 flops/element here).
 
-Points are handed over transposed as (3, N): the point axis must live on
-the 128-wide lane dimension.
+Targets are handed over transposed as (3, N) — the target point axis
+lives on the 128-wide lane dimension; queries stay row-major (N, 3)
+(see :func:`_query_lanes` for why).
 """
 
 from __future__ import annotations
@@ -59,13 +60,14 @@ def _chunk_min_sweep(qxyz, lane, tt_ref, base, t_chunk, best_d, best_i):
     return best_d, best_i
 
 
-def _query_lanes(qt_ref):
-    QT = qt_ref.shape[1]
-    qxyz = (
-        qt_ref[0, :].reshape(QT, 1),
-        qt_ref[1, :].reshape(QT, 1),
-        qt_ref[2, :].reshape(QT, 1),
-    )
+def _query_lanes(q_ref):
+    """q_ref: (QT, 3) ROW-major query tile. Queries stay row-major all the
+    way into the kernel: the (N,3)->(3,N) relayout a transposed handover
+    would need measured ~0.8 ms per call on v5e — paid once per LM
+    iteration on the moving source cloud — while a sublane-aligned column
+    read here is free."""
+    QT = q_ref.shape[0]
+    qxyz = (q_ref[:, 0:1], q_ref[:, 1:2], q_ref[:, 2:3])
     lane = jax.lax.broadcasted_iota(jnp.int32, (QT, 128), 1)
     init = (
         jnp.full((QT, 128), _BIG, jnp.float32),
@@ -87,7 +89,7 @@ def _argmin_epilogue(best_d, best_i, idx_ref, dist_ref):
 def _nn1_kernel(qt_ref, tt_ref, idx_ref, dist_ref, *, t_chunk: int):
     """One query tile vs the full target cloud.
 
-    qt_ref: (3, QT) query tile       tt_ref: (3, T) full target
+    qt_ref: (QT, 3) query tile       tt_ref: (3, T) full target
     idx_ref: (QT//128, 128) int32    dist_ref: (QT//128, 128) f32
     """
     n_chunks = tt_ref.shape[1] // t_chunk
@@ -130,8 +132,7 @@ def nn1_pallas(
     t = pad_to(target, t_chunk, 1.0e6)
     Qp, Tp = q.shape[0], t.shape[0]
 
-    qt = q.T  # (3, Qp)
-    tt = t.T  # (3, Tp)
+    tt = t.T  # (3, Tp); queries stay row-major (see _query_lanes)
 
     grid = (Qp // q_tile,)
     rows_per_tile = q_tile // 128  # (8, 128)-aligned output blocks
@@ -139,7 +140,7 @@ def nn1_pallas(
         partial(_nn1_kernel, t_chunk=t_chunk),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((3, q_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((q_tile, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((3, Tp), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -154,151 +155,12 @@ def nn1_pallas(
             jax.ShapeDtypeStruct((Qp // 128, 128), jnp.int32),
             jax.ShapeDtypeStruct((Qp // 128, 128), jnp.float32),
         ],
-    )(qt, tt)
+    )(q, tt)
 
     idx = idx.reshape(-1)[:Q]
     idx = jnp.minimum(idx, Tn - 1)  # padded winners can't happen, but clamp
     sqd = dist.reshape(-1)[:Q]
     return idx, sqd
-
-
-def _nn1_gather_kernel(
-    qt_ref, tt_ref, tc_ref, idx_ref, dist_ref, b_ref, cov_ref, *, t_chunk: int
-):
-    """1-NN that also carries the winning target's coordinates and
-    covariance through the fold, so the caller needs NO ``tgt[idx]`` /
-    ``tgt_covs[idx]`` HBM gathers afterwards.
-
-    qt_ref: (3, QT)   tt_ref: (3, T)   tc_ref: (9, T) row-major 3x3 covs
-    outputs: idx/dist (QT//128, 128), b (3, QT), cov (9, QT)
-    """
-    T = tt_ref.shape[1]
-    QT = qt_ref.shape[1]
-    n_chunks = T // t_chunk
-    folds = t_chunk // 128
-
-    qx = qt_ref[0, :].reshape(QT, 1)
-    qy = qt_ref[1, :].reshape(QT, 1)
-    qz = qt_ref[2, :].reshape(QT, 1)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (QT, 128), 1)
-
-    def body(c, carry):
-        best_d, best_i, best_f = carry  # best_f: (13, QT, 128) tx..tz,cov9,
-        base = c * t_chunk
-        tx = tt_ref[0, pl.ds(base, t_chunk)].reshape(1, t_chunk)
-        ty = tt_ref[1, pl.ds(base, t_chunk)].reshape(1, t_chunk)
-        tz = tt_ref[2, pl.ds(base, t_chunk)].reshape(1, t_chunk)
-        dx = qx - tx
-        dy = qy - ty
-        dz = qz - tz
-        d = dx * dx + dy * dy + dz * dz
-        for f in range(folds):
-            sl = slice(f * 128, (f + 1) * 128)
-            dd = d[:, sl]
-            tk = dd < best_d
-            best_i = jnp.where(tk, lane + (base + f * 128), best_i)
-            best_d = jnp.where(tk, dd, best_d)
-            feats = []
-            for r in range(3):
-                feats.append(
-                    jnp.broadcast_to(
-                        tt_ref[r, pl.ds(base + f * 128, 128)].reshape(1, 128),
-                        (QT, 128),
-                    )
-                )
-            for r in range(9):
-                feats.append(
-                    jnp.broadcast_to(
-                        tc_ref[r, pl.ds(base + f * 128, 128)].reshape(1, 128),
-                        (QT, 128),
-                    )
-                )
-            new_f = jnp.stack(feats, axis=0)  # (12, QT, 128)
-            best_f = jnp.where(tk[None, :, :], new_f, best_f)
-        return best_d, best_i, best_f
-
-    init = (
-        jnp.full((QT, 128), _BIG, jnp.float32),
-        jnp.zeros((QT, 128), jnp.int32),
-        jnp.zeros((12, QT, 128), jnp.float32),
-    )
-    best_d, best_i, best_f = jax.lax.fori_loop(0, n_chunks, body, init)
-
-    win = jnp.min(best_d, axis=1, keepdims=True)
-    is_min = best_d == win
-    idx_cand = jnp.where(is_min, best_i, jnp.int32(2**30))
-    win_idx = jnp.min(idx_cand, axis=1)  # (QT,)
-    idx_ref[:, :] = win_idx.reshape(QT // 128, 128)
-    dist_ref[:, :] = win[:, 0].reshape(QT // 128, 128)
-
-    # select the winning lane's features: one-hot row-reduction per query
-    first_min = idx_cand == win_idx[:, None]
-    sel = first_min.astype(jnp.float32)  # exactly one 1 per row
-    for r in range(3):
-        b_ref[r, :] = jnp.sum(best_f[r] * sel, axis=1)
-    for r in range(9):
-        cov_ref[r, :] = jnp.sum(best_f[3 + r] * sel, axis=1)
-
-
-@partial(jax.jit, static_argnames=("q_tile", "t_chunk"))
-def nn1_gather_pallas(
-    query: jnp.ndarray,
-    target: jnp.ndarray,
-    target_covs: jnp.ndarray,
-    q_tile: int = 1024,
-    t_chunk: int = 256,
-):
-    """1-NN returning (idx, sqdist, B, cov_B) with the winner's
-    coordinates/covariance carried through the kernel — replaces the
-    ``tgt_pts[idx]`` and ``tgt_covs[idx]`` HBM gathers of the GICP
-    linearization (nano_gicp_impl.hpp:262-271) with VMEM-fold selects.
-
-    Experimental: enable in the GICP path with DDLO_FUSED_NN=1.
-    """
-    Q = query.shape[0]
-    Tn = target.shape[0]
-
-    def pad_to(x, m, fill):
-        pad = (-x.shape[0]) % m
-        if pad:
-            width = ((0, pad),) + ((0, 0),) * (x.ndim - 1)
-            x = jnp.pad(x, width, constant_values=fill)
-        return x
-
-    q = pad_to(query, q_tile, 0.0)
-    t = pad_to(target, t_chunk, 1.0e6)
-    tc = pad_to(target_covs.reshape(Tn, 9), t_chunk, 0.0)
-    Qp, Tp = q.shape[0], t.shape[0]
-
-    grid = (Qp // q_tile,)
-    rows = q_tile // 128
-    idx, dist, B, covB = pl.pallas_call(
-        partial(_nn1_gather_kernel, t_chunk=t_chunk),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((3, q_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, Tp), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((9, Tp), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((rows, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((rows, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, q_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((9, q_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((Qp // 128, 128), jnp.int32),
-            jax.ShapeDtypeStruct((Qp // 128, 128), jnp.float32),
-            jax.ShapeDtypeStruct((3, Qp), jnp.float32),
-            jax.ShapeDtypeStruct((9, Qp), jnp.float32),
-        ],
-    )(q.T, t.T, tc.T)
-
-    idx = jnp.minimum(idx.reshape(-1)[:Q], Tn - 1)
-    sqd = dist.reshape(-1)[:Q]
-    B = B.T[:Q]
-    covB = covB.T[:Q].reshape(Q, 3, 3)
-    return idx, sqd, B, covB
 
 
 def _sparse_chunk_lists(overlap: jnp.ndarray):
@@ -398,7 +260,7 @@ def nn1_sparse_pallas(
             # index maps receive the scalar-prefetch refs as trailing args
             in_specs=[
                 pl.BlockSpec(
-                    (3, q_tile), lambda i, c, l: (0, i),
+                    (q_tile, 3), lambda i, c, l: (i, 0),
                     memory_space=pltpu.VMEM,
                 ),
                 pl.BlockSpec(
@@ -420,7 +282,7 @@ def nn1_sparse_pallas(
             jax.ShapeDtypeStruct((Qp // 128, 128), jnp.int32),
             jax.ShapeDtypeStruct((Qp // 128, 128), jnp.float32),
         ],
-    )(counts, lst, q.T, t.T)
+    )(counts, lst, q, t.T)
 
     idx = jnp.minimum(idx.reshape(-1)[:Q], Tn - 1)
     sqd = dist.reshape(-1)[:Q]
@@ -523,13 +385,13 @@ def knn_approx_pallas(
             grid=grid,
             in_specs=[
                 pl.BlockSpec(
-                    (3, q_tile), lambda i: (0, i), memory_space=pltpu.VMEM
+                    (q_tile, 3), lambda i: (i, 0), memory_space=pltpu.VMEM
                 ),
                 pl.BlockSpec((3, Tp), lambda i: (0, 0), memory_space=pltpu.VMEM),
             ],
             out_specs=out_specs_plain,
             out_shape=out_shape,
-        )(q.T, t.T)
+        )(q, t.T)
     else:
         n_tiles, n_chunks = Qp // q_tile, Tp // t_chunk
         qb = q.reshape(n_tiles, q_tile, 3)
@@ -547,7 +409,7 @@ def knn_approx_pallas(
                 grid=grid,
                 in_specs=[
                     pl.BlockSpec(
-                        (3, q_tile), lambda i, c, l: (0, i),
+                        (q_tile, 3), lambda i, c, l: (i, 0),
                         memory_space=pltpu.VMEM,
                     ),
                     pl.BlockSpec(
@@ -567,7 +429,7 @@ def knn_approx_pallas(
                 ],
             ),
             out_shape=out_shape,
-        )(counts, lst, q.T, t.T)
+        )(counts, lst, q, t.T)
 
     nd, pos = jax.lax.top_k(-dist[:Q], k)  # ascending distances
     ki = jnp.take_along_axis(idx[:Q], pos, axis=1)

@@ -208,6 +208,40 @@ def step(
     return new_state, outputs
 
 
+@partial(jax.jit, static_argnames=("cfg",))
+def step_chunk(
+    cfg: DDLOConfig,
+    state: DDLOState,
+    pts_stack: jnp.ndarray,  # (K, H*W, 3)
+    mask_stack: jnp.ndarray,  # (K, H*W)
+    ts_stack: jnp.ndarray,  # (K,)
+    hull_masks: Tuple[jnp.ndarray, jnp.ndarray] | None = None,
+) -> Tuple[DDLOState, DDLOOutputs]:
+    """K sequential full-pipeline steps in ONE dispatch (``lax.scan``).
+
+    The scan loop is still strictly sequential — scan i+1's S2S target
+    and keyframe store come from scan i — this only batches DISPATCH.
+    Per-call host->device round trips measured ~10-17 ms on the relay
+    rig (and are never free on a real deployment either); at K=8 that
+    overhead amortizes 8x, which is the difference between ~10 Hz and
+    ~14 Hz end-to-end (bench.py).
+
+    ``hull_masks`` are held fixed for the whole chunk: hull membership
+    only changes on keyframe insertion, and a just-inserted keyframe is
+    always selected by the knn-nearest rule anyway (same staleness
+    argument as runner.py's one-scan-late refresh, just K scans wide).
+
+    Returns (final state, outputs stacked over the K scans).
+    """
+
+    def body(st, xs):
+        pts, mask, ts = xs
+        st2, out = step(cfg, st, pts, mask, ts, hull_masks)
+        return st2, out
+
+    return jax.lax.scan(body, state, (pts_stack, mask_stack, ts_stack))
+
+
 def _empty_detection(cfg: DDLOConfig) -> detection.DetectionResult:
     H, W = cfg.detection.rows, cfg.detection.columns
     S = cfg.capacity.max_objects

@@ -156,10 +156,10 @@ def replay(
     # change on keyframe insertion, and a just-inserted keyframe is
     # always in the knn-nearest set anyway).
     def host_hulls(st) -> tuple:
-        cv, cc = keyframes.exact_hull_masks(
-            np.asarray(st.odom.store.positions),
-            np.asarray(st.odom.store.valid),
-            float(np.asarray(st.odom.keyframe_thresh_dist)),
+        cv, cc = keyframes.exact_hull_masks_packed(
+            keyframes.packed_hull_inputs(
+                st.odom.store, st.odom.keyframe_thresh_dist
+            )
         )
         return (jnp.asarray(cv), jnp.asarray(cc))
 

@@ -103,3 +103,19 @@ def test_two_process_dp_matches_single_process(tmp_path):
     # and agree with the single-process run to numerical noise
     np.testing.assert_allclose(got["T"], T_ref, atol=1e-4)
     assert got["converged"].all() and conv_ref.all()
+
+
+@pytest.mark.slow
+def test_two_process_scaling_efficiency():
+    """BASELINE.md scaling bar: batched registrations/s through the
+    2-process jax.distributed topology stays >= 80 % of the 1-process
+    rate at CONSTANT total device count (the process-boundary tax; see
+    tools/bench_scaling.py and SCALING_r03.json for the recorded
+    artifact)."""
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    import bench_scaling
+
+    base = bench_scaling.run_case(1, 4, batch=16, n=2048, iters=3)
+    two = bench_scaling.run_case(2, 2, batch=16, n=2048, iters=3)
+    eff = two["value"] / base["value"]
+    assert eff >= 0.8, f"2-process efficiency {eff:.2f} < 0.8"

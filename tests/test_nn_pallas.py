@@ -138,50 +138,6 @@ def test_knn_approx_distances_not_worse_than_kplus_exact():
     assert np.all(np.asarray(da) <= np.asarray(de[:, -1])[:, None] + 1e-4)
 
 
-def test_nn1_gather_matches_separate_gathers():
-    q, t = _clouds(Q=260, T=390, seed=5)
-    rng = np.random.default_rng(7)
-    covs = rng.normal(size=(390, 3, 3)).astype(np.float32)
-    covs = jnp.asarray(covs @ covs.transpose(0, 2, 1))
-    i0, d0 = knn_ops.nn1(q, t)
-    i1, d1, B, covB = nn_pallas.nn1_gather_pallas(
-        q, t, covs, q_tile=128, t_chunk=128
-    )
-    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
-    np.testing.assert_allclose(np.asarray(d0), np.asarray(d1), atol=1e-4)
-    np.testing.assert_allclose(np.asarray(B), np.asarray(t[i0]), atol=1e-6)
-    np.testing.assert_allclose(
-        np.asarray(covB), np.asarray(covs[i0]), atol=1e-6
-    )
-
-
-def test_fused_nn_env_flag_gicp_parity(monkeypatch):
-    """DDLO_FUSED_NN path produces the same linearization as the gather
-    path (forced through interpret mode on CPU by faking the backend)."""
-    from dynamic_direct_lidar_odometry_tpu.ops import gicp
-
-    rng = np.random.default_rng(0)
-    src = jnp.asarray(rng.uniform(-10, 10, (256, 3)).astype(np.float32))
-    tgt = src + jnp.asarray([0.05, 0.0, 0.0])
-    mask = jnp.ones((256,), bool)
-    covs = jnp.broadcast_to(jnp.eye(3), (256, 3, 3))
-    T = jnp.eye(4)
-
-    y_ref, H_ref, b_ref, _ = gicp._linearize(
-        T, src, mask, covs, tgt, mask, covs, 1.0
-    )
-
-    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
-    y_f, H_f, b_f, _ = gicp._linearize(
-        T, src, mask, covs, tgt, mask, covs, 1.0, nn_impl="fused"
-    )
-    np.testing.assert_allclose(float(y_f), float(y_ref), rtol=1e-5)
-    np.testing.assert_allclose(np.asarray(H_f), np.asarray(H_ref), rtol=1e-4)
-    np.testing.assert_allclose(
-        np.asarray(b_f), np.asarray(b_ref), rtol=1e-4, atol=1e-3
-    )
-
-
 def test_sparse_nn_env_flag_gicp_parity(monkeypatch):
     """DDLO_SPARSE_NN path: identical linearization — the pruned pairs
     are exactly the ones the max_corr_dist gate discards."""

@@ -172,3 +172,51 @@ def test_spherical_projection_mode_runs():
     # per-point masks have source-point shape
     assert out.non_static_mask.shape == (H * W,)
     assert bool(jnp.any(out.detections.point_index >= 0))
+
+
+def test_step_chunk_matches_sequential_steps():
+    """pipeline.step_chunk (K steps per dispatch via lax.scan) is exactly
+    the sequential composition of pipeline.step — same hulls, same
+    stacked outputs, same final state."""
+    cfg = ddlo_cfg()
+    H, W = cfg.detection.rows, cfg.detection.columns
+    world = synthetic.World.town(seed=4, n_static=8)
+    rng = np.random.default_rng(0)
+    scans = []
+    for i in range(5):
+        T = np.eye(4)
+        T[:3, 3] = [0.15 * i, 0.02 * i, 0.0]
+        pts, mask = synthetic.render_scan(
+            world, T, H=H, W=W, t=0.1 * i, rng=rng
+        )
+        scans.append((pts, mask))
+
+    st0 = pipeline.init_state(
+        cfg, jnp.asarray(scans[0][0]), jnp.asarray(scans[0][1]), 0.0
+    )
+
+    st_seq = st0
+    poses_seq = []
+    for i in range(1, 5):
+        st_seq, out = pipeline.step(
+            cfg, st_seq, jnp.asarray(scans[i][0]), jnp.asarray(scans[i][1]),
+            jnp.float32(0.1 * i),
+        )
+        poses_seq.append(np.asarray(out.odom.pose))
+
+    pts_stack = jnp.asarray(np.stack([s[0] for s in scans[1:]]))
+    mask_stack = jnp.asarray(np.stack([s[1] for s in scans[1:]]))
+    ts_stack = jnp.asarray(np.arange(1, 5, dtype=np.float32) * 0.1)
+    st_chunk, outs = pipeline.step_chunk(
+        cfg, st0, pts_stack, mask_stack, ts_stack
+    )
+
+    np.testing.assert_allclose(
+        np.asarray(outs.odom.pose), np.stack(poses_seq), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(st_chunk.odom.T), np.asarray(st_seq.odom.T), atol=1e-5
+    )
+    assert int(np.asarray(st_chunk.odom.store.count)) == int(
+        np.asarray(st_seq.odom.store.count)
+    )

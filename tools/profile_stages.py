@@ -160,7 +160,7 @@ def main():
     )
 
     if jax.default_backend() == "tpu":
-        # the Pallas kernel zoo: exact, fused-gather, AABB-sparse; the
+        # the Pallas kernel zoo: exact, AABB-sparse; the
         # winners should become the defaults (CLAUDE.md perf state)
         from dynamic_direct_lidar_odometry_tpu.ops import nn_pallas
 
@@ -172,10 +172,6 @@ def main():
         timeit(
             "nn1_sparse_pallas 16k x 64k (r=%.0f)" % r,
             nn_pallas.nn1_sparse_pallas, p.points, sub_pts, radius=r, n=10,
-        )
-        timeit(
-            "nn1_gather_pallas 16k x 64k", nn_pallas.nn1_gather_pallas,
-            p.points, sub_pts, sub_covs, n=10,
         )
         timeit(
             "knn_approx k=%d 16k x 16k" % k, nn_pallas.knn_approx_pallas,

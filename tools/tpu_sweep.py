@@ -3,10 +3,10 @@
 Run when the relay is up to settle every pending perf question at once
 (CLAUDE.md "Perf state"): times the FULL pipeline step at bench scale
 (64x2048, 16k points, 64k submap) for each correspondence backend —
-"auto" (exact Pallas sweep), "fused" (no-gather fold), "sparse"
+"auto" (exact Pallas sweep), "sparse"
 (AABB-pruned sweep) — plus per-stage timings for the winner.
 
-    python tools/tpu_sweep.py [--scans 20] [--impls auto,sparse,fused]
+    python tools/tpu_sweep.py [--scans 20] [--impls auto,sparse]
 
 Prints a table + one JSON line with every measurement. The winner
 should become the default (flip DDLO_NN_IMPL mapping / GICPSettings
@@ -16,7 +16,6 @@ default) and bench.py re-run.
 from __future__ import annotations
 
 import argparse
-import dataclasses
 import json
 import os
 import sys
@@ -34,40 +33,13 @@ import numpy as np
 
 def bench_scale_setup():
     from dynamic_direct_lidar_odometry_tpu import config as cfg_lib
-    from dynamic_direct_lidar_odometry_tpu.io import synthetic
+    from dynamic_direct_lidar_odometry_tpu.io import dataset
 
-    cfg = cfg_lib.doals_config()
-    cfg = dataclasses.replace(
-        cfg,
-        capacity=dataclasses.replace(
-            cfg.capacity,
-            max_points=16384,
-            max_submap_points=65536,
-            max_keyframes=64,
-            max_keyframe_points=8192,
-            nn_chunk=2048,
-        ),
-    )
-    H, W = cfg.detection.rows, cfg.detection.columns
-    world = synthetic.World.town(seed=3, n_static=10)
-    movers = [
-        synthetic.Box(
-            np.array([6.0, -3.0, 0.9]), np.array([0.8, 0.8, 1.8]),
-            np.array([1.2, 0.4, 0.0]),
-        ),
-        synthetic.Box(
-            np.array([-4.0, 5.0, 0.9]), np.array([0.8, 0.8, 1.8]),
-            np.array([-0.5, -1.0, 0.0]),
-        ),
-    ]
-    n_scans = 12
-    poses = synthetic.circular_trajectory(n_scans, radius=8.0, angle_span=0.6)
-    rng = np.random.default_rng(0)
+    cfg = cfg_lib.bench_config()
+    seq = dataset.steady_state_sequence(n_scans=40)
     scans = [
-        tuple(map(jnp.asarray, synthetic.render_scan(
-            world, T, H=H, W=W, t=0.1 * i, extra_boxes=movers, rng=rng
-        )))
-        for i, T in enumerate(poses)
+        (jnp.asarray(seq.points[i]), jnp.asarray(seq.mask[i]))
+        for i in range(len(seq))
     ]
     return cfg, scans
 
@@ -98,7 +70,7 @@ def time_pipeline(cfg, scans, n_timed: int):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--scans", type=int, default=20)
-    ap.add_argument("--impls", default="auto,sparse,fused")
+    ap.add_argument("--impls", default="auto,sparse")
     args = ap.parse_args()
 
     print(f"backend: {jax.default_backend()}  devices: {jax.devices()}")

@@ -25,7 +25,7 @@ lives on the 128-wide lane dimension; queries stay row-major (N, 3)
 from __future__ import annotations
 
 from functools import partial
-from typing import Tuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -202,50 +202,64 @@ def _nn1_sparse_kernel(
     _argmin_epilogue(best_d, best_i, idx_ref, dist_ref)
 
 
-@partial(jax.jit, static_argnames=("radius", "q_tile", "t_chunk"))
-def nn1_sparse_pallas(
+class SparseTarget(NamedTuple):
+    """Loop-invariant target-side preparation for the sparse 1-NN sweep:
+    the transposed/padded target, its per-chunk AABBs, and the original
+    row count. gicp.align prepares this ONCE per registration so the
+    (M,3)->(3,M) relayout + chunk-box reduction are hoisted out of the
+    LM while_loop instead of being re-emitted every iteration."""
+
+    tt: jnp.ndarray  # (3, Tp) padded, transposed target
+    t_lo: jnp.ndarray  # (n_chunks, 3) chunk AABB minima
+    t_hi: jnp.ndarray  # (n_chunks, 3) chunk AABB maxima
+    n: int  # original (unpadded) target row count — static
+
+
+def _pad_rows(x: jnp.ndarray, m: int, fill) -> jnp.ndarray:
+    pad = (-x.shape[0]) % m
+    if pad:
+        x = jnp.pad(x, ((0, pad), (0, 0)), constant_values=fill)
+    return x
+
+
+def prepare_sparse_target(target: jnp.ndarray, t_chunk: int = 512) -> SparseTarget:
+    """Pad/transpose the target and compute its chunk AABBs (see
+    :class:`SparseTarget`). Invalid target rows must already sit at the
+    far sentinel: their chunks' boxes then never overlap a real query
+    tile and are pruned for free — which is also what makes a padded
+    slot-major submap (keyframes.gather_submap capacity=None) sweep at
+    the cost of its VALID points only."""
+    t = _pad_rows(target, t_chunk, 1.0e6)
+    tb = t.reshape(-1, t_chunk, 3)
+    return SparseTarget(
+        tt=t.T, t_lo=tb.min(axis=1), t_hi=tb.max(axis=1), n=target.shape[0]
+    )
+
+
+def nn1_sparse_prepared(
     query: jnp.ndarray,
-    target: jnp.ndarray,
+    prep: SparseTarget,
     radius: float,
     q_tile: int = 1024,
-    t_chunk: int = 512,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Radius-pruned 1-NN: exact for every query whose true nearest
-    target lies within ``radius``; queries with no target inside
-    ``radius`` report distance >= _BIG (their correspondence would be
-    discarded by the GICP gate anyway, nano_gicp_impl.hpp:256-258).
-
-    Pruning: per query-TILE and target-CHUNK axis-aligned bounding boxes
-    (computed in XLA) are tested for overlap dilated by ``radius``; the
-    kernel loops only over each tile's surviving chunk list. Point
-    clouds arrive MORTON-ordered (filters.voxel_downsample's single
-    z-order sort), so consecutive chunks are spatially compact and the
-    boxes are tight. At DOALS submap scale the overlap density is
-    ~4-10 %, turning the 1e9-element distance sweep (the pipeline's
-    dominant cost) into a proportional sweep of the surviving blocks.
-    """
+    """Sparse 1-NN against a :func:`prepare_sparse_target` result —
+    traced inline (no jit wrapper) so callers inside scans/while loops
+    keep the prep arrays as loop constants."""
     Q = query.shape[0]
-    Tn = target.shape[0]
+    Tp = prep.tt.shape[1]
+    n_chunks = prep.t_lo.shape[0]
+    t_chunk = Tp // n_chunks
 
-    def pad_to(x, m, fill):
-        pad = (-x.shape[0]) % m
-        if pad:
-            x = jnp.pad(x, ((0, pad), (0, 0)), constant_values=fill)
-        return x
-
-    q = pad_to(query, q_tile, 0.0)
-    t = pad_to(target, t_chunk, 1.0e6)
-    Qp, Tp = q.shape[0], t.shape[0]
-    n_tiles, n_chunks = Qp // q_tile, Tp // t_chunk
+    q = _pad_rows(query, q_tile, 0.0)
+    Qp = q.shape[0]
+    n_tiles = Qp // q_tile
 
     # tile/chunk AABBs + dilated overlap test (all-axes separation)
     qb = q.reshape(n_tiles, q_tile, 3)
-    tb = t.reshape(n_chunks, t_chunk, 3)
     q_lo, q_hi = qb.min(axis=1), qb.max(axis=1)  # (n_tiles, 3)
-    t_lo, t_hi = tb.min(axis=1), tb.max(axis=1)  # (n_chunks, 3)
     overlap = jnp.all(
-        (q_lo[:, None, :] - radius <= t_hi[None, :, :])
-        & (q_hi[:, None, :] + radius >= t_lo[None, :, :]),
+        (q_lo[:, None, :] - radius <= prep.t_hi[None, :, :])
+        & (q_hi[:, None, :] + radius >= prep.t_lo[None, :, :]),
         axis=-1,
     )
     counts, lst = _sparse_chunk_lists(overlap)
@@ -282,11 +296,38 @@ def nn1_sparse_pallas(
             jax.ShapeDtypeStruct((Qp // 128, 128), jnp.int32),
             jax.ShapeDtypeStruct((Qp // 128, 128), jnp.float32),
         ],
-    )(counts, lst, q, t.T)
+    )(counts, lst, q, prep.tt)
 
-    idx = jnp.minimum(idx.reshape(-1)[:Q], Tn - 1)
+    idx = jnp.minimum(idx.reshape(-1)[:Q], prep.n - 1)
     sqd = dist.reshape(-1)[:Q]
     return idx, sqd
+
+
+@partial(jax.jit, static_argnames=("radius", "q_tile", "t_chunk"))
+def nn1_sparse_pallas(
+    query: jnp.ndarray,
+    target: jnp.ndarray,
+    radius: float,
+    q_tile: int = 1024,
+    t_chunk: int = 512,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Radius-pruned 1-NN: exact for every query whose true nearest
+    target lies within ``radius``; queries with no target inside
+    ``radius`` report distance >= _BIG (their correspondence would be
+    discarded by the GICP gate anyway, nano_gicp_impl.hpp:256-258).
+
+    Pruning: per query-TILE and target-CHUNK axis-aligned bounding boxes
+    (computed in XLA) are tested for overlap dilated by ``radius``; the
+    kernel loops only over each tile's surviving chunk list. Point
+    clouds arrive MORTON-ordered (filters.voxel_downsample's single
+    z-order sort), so consecutive chunks are spatially compact and the
+    boxes are tight. At DOALS submap scale the overlap density is
+    ~4-10 %, turning the 1e9-element distance sweep (the pipeline's
+    dominant cost) into a proportional sweep of the surviving blocks.
+    """
+    return nn1_sparse_prepared(
+        query, prepare_sparse_target(target, t_chunk), radius, q_tile
+    )
 
 
 def _nn_classes_kernel(qt_ref, tt_ref, idx_ref, dist_ref, *, t_chunk: int):

@@ -62,8 +62,11 @@ class GICPSettings(NamedTuple):
     # correspondence-search backend: "auto" (Pallas exact on TPU, XLA
     # sweep elsewhere), "exact" (XLA sweep), "pallas" (exact Pallas),
     # "sparse" (AABB-pruned Pallas sweep, exact within
-    # max_correspondence_distance). Compile-time static; the odometry
-    # layer maps the DDLO_NN_IMPL env var onto this once.
+    # max_correspondence_distance), "fused" (sparse sweep + the whole
+    # linearization in one Pallas kernel; exactness of "sparse" with the
+    # H/b reduction done per tile in-kernel). Compile-time static; the
+    # odometry layer maps the DDLO_NN_IMPL env var onto this once. On
+    # CPU every impl falls back to the exact XLA sweep.
     nn_impl: str = "auto"
 
 
@@ -113,6 +116,44 @@ def inv3x3(m: jnp.ndarray) -> jnp.ndarray:
     return adj * inv_det[..., None, None]
 
 
+def solve6_ldlt(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Solve the symmetric 6x6 normal equations by unrolled LDLT — the
+    decomposition the reference uses (lsq_registration_impl.hpp:190,
+    Eigen::LDLT). ``jnp.linalg.solve`` lowers a 6x6 to a generic LU
+    whose fixed overhead on TPU dwarfs the ~100 flops actually needed;
+    this unrolled form is pure fused scalar math inside the LM loop.
+    """
+    L = [[None] * 6 for _ in range(6)]
+    D = [None] * 6
+    for j in range(6):
+        d = A[j, j]
+        for k in range(j):
+            d = d - L[j][k] * L[j][k] * D[k]
+        # singular H is guarded upstream (degenerate flag); keep the
+        # pivot finite so a pathological iterate can't emit inf/NaN
+        D[j] = jnp.where(jnp.abs(d) < 1e-30, 1e-30, d)
+        for i in range(j + 1, 6):
+            v = A[i, j]
+            for k in range(j):
+                v = v - L[i][k] * L[j][k] * D[k]
+            L[i][j] = v / D[j]
+    # forward solve L y = b
+    y = [None] * 6
+    for i in range(6):
+        v = b[i]
+        for k in range(i):
+            v = v - L[i][k] * y[k]
+        y[i] = v
+    # diagonal + back solve L^T x = y / D
+    x = [None] * 6
+    for i in reversed(range(6)):
+        v = y[i] / D[i]
+        for k in range(i + 1, 6):
+            v = v - L[k][i] * x[k]
+        x[i] = v
+    return jnp.stack(x)
+
+
 def _linearize(
     T: jnp.ndarray,
     src_pts: jnp.ndarray,
@@ -125,6 +166,7 @@ def _linearize(
     nn_impl: str = "auto",
     prune_dilation: float = 1.0,
     sparse_prep=None,
+    tgt_feat=None,
 ):
     """One GICP linearization at pose T.
 
@@ -146,6 +188,29 @@ def _linearize(
     src_t_q = jnp.where(src_mask[:, None], src_t, SENTINEL)
 
     on_tpu = jax.default_backend() == "tpu"
+    if nn_impl == "fused" and on_tpu:
+        # ONE Pallas kernel for the whole linearization: block-sparse
+        # sweep + winner-feature fold + per-point Mahalanobis/Jacobian +
+        # in-kernel H/b partials. Collapses the ~25-op XLA chain whose
+        # per-op launch overheads dominated the LM iteration cost.
+        from dynamic_direct_lidar_odometry_tpu.ops import nn_pallas
+
+        if sparse_prep is None:
+            sparse_prep = nn_pallas.prepare_sparse_feat(tgt_pts, tgt_covs)
+        RCAR = jnp.einsum("ij,njk,lk->nil", R, src_covs, R, precision=hp)
+        y0, Hm, bv, sqd, M, B = nn_pallas.linearize_sparse_pallas(
+            src_t_q,
+            RCAR.reshape(-1, 9),
+            sparse_prep,
+            radius=max_corr_dist,
+            prune_radius=max_corr_dist * prune_dilation,
+        )
+        valid = src_mask & (sqd < max_corr_dist * max_corr_dist)
+        # per-point target indices aren't materialized by the fused
+        # kernel; the final residual pass (align) re-runs the sparse
+        # sweep, which does export them
+        idx = jnp.zeros((src_pts.shape[0],), jnp.int32)
+        return y0, Hm, bv, (idx, valid, M, B, sqd)
     if nn_impl == "sparse" and on_tpu:
         # block-sparse sweep: target chunks outside the
         # correspondence radius of a query tile are skipped — exact
@@ -169,10 +234,23 @@ def _linearize(
         idx, sqd = knn_ops.nn1(src_t_q, tgt_pts)
     else:  # "auto": Pallas exact on TPU, XLA sweep elsewhere
         idx, sqd = knn_ops.nn1_best(src_t_q, tgt_pts)
-    valid = src_mask & tgt_mask[idx] & (sqd < max_corr_dist * max_corr_dist)
+    # no tgt_mask[idx] gather: invalid targets sit at the SENTINEL, so
+    # their squared distance to any real (src-masked) query is ~1e12 and
+    # the max_corr_dist gate below always discards them
+    valid = src_mask & (sqd < max_corr_dist * max_corr_dist)
     vf = valid.astype(src_pts.dtype)
-    cov_B = tgt_covs[idx]
-    B = tgt_pts[idx]
+    # ONE (N, 12) gather for the winner's coordinates + covariance
+    # instead of two row gathers — TPU gathers are ~row-serial, so
+    # halving the row count halves the per-LM-iteration gather cost.
+    # tgt_feat is hoisted to align(); standalone calls build it here.
+    if tgt_feat is None:
+        N_t = tgt_pts.shape[0]
+        tgt_feat = jnp.concatenate(
+            [tgt_pts, tgt_covs.reshape(N_t, 9)], axis=1
+        )
+    feat = tgt_feat[idx]
+    B = feat[:, :3]
+    cov_B = feat[:, 3:].reshape(-1, 3, 3)
     RCAR = jnp.einsum("ij,njk,lk->nil", R, src_covs, R, precision=hp)
     M = inv3x3(cov_B + RCAR)  # (N, 3, 3) mahalanobis weights
 
@@ -264,10 +342,19 @@ def align(
     # relayout + chunk AABBs) out of the optimization loop: the target
     # never moves, and the relayout alone measured ~0.8 ms per call
     sparse_prep = None
-    if s.nn_impl == "sparse" and jax.default_backend() == "tpu":
+    if jax.default_backend() == "tpu":
         from dynamic_direct_lidar_odometry_tpu.ops import nn_pallas
 
-        sparse_prep = nn_pallas.prepare_sparse_target(tgt_q)
+        if s.nn_impl == "fused":
+            # packed-feature prep: rows 0..2 coords (also serves the
+            # final residual pass's plain sparse sweep), rows 3..11 covs
+            sparse_prep = nn_pallas.prepare_sparse_feat(tgt_q, tgt_covs)
+        elif s.nn_impl == "sparse":
+            sparse_prep = nn_pallas.prepare_sparse_target(tgt_q)
+    # packed winner features for the per-iteration gather (see _linearize)
+    tgt_feat = jnp.concatenate(
+        [tgt_q, tgt_covs.reshape(tgt_pts.shape[0], 9)], axis=1
+    )
 
     def _allsum(x):
         return jax.lax.psum(x, axis_name) if axis_name is not None else x
@@ -276,7 +363,7 @@ def align(
         y0, H, b, aux = _linearize(
             T, src_pts, src_mask, src_covs, tgt_q, tgt_mask, tgt_covs,
             s.max_correspondence_distance, nn_impl, prune_dilation,
-            sparse_prep=sparse_prep,
+            sparse_prep=sparse_prep, tgt_feat=tgt_feat,
         )
         return _allsum(y0), _allsum(H), _allsum(b), aux
 
@@ -294,9 +381,7 @@ def align(
 
         def body(st):
             j, lam, nu, done, accepted, conv, x, delta_prev = st
-            d = jnp.linalg.solve(
-                H + lam * jnp.eye(6, dtype=H.dtype), -b
-            )
+            d = solve6_ldlt(H + lam * jnp.eye(6, dtype=H.dtype), -b)
             delta = se3.se3_exp(d)
             xi = se3.compose(delta, x)
             yi = _allsum(_compute_error(xi, src_pts, aux))
@@ -361,7 +446,7 @@ def align(
         # must stay finite so downstream state stays usable.
         degenerate = jnp.max(jnp.abs(jnp.diagonal(H))) < 1e-12
         if s.optimizer == "gn":
-            d = jnp.linalg.solve(H + 1e-12 * jnp.eye(6, dtype=H.dtype), -b)
+            d = solve6_ldlt(H + 1e-12 * jnp.eye(6, dtype=H.dtype), -b)
             d = jnp.where(degenerate, 0.0, d)
             delta = se3.se3_exp(d)
             x_new = se3.compose(delta, st.x0)
@@ -422,9 +507,11 @@ def align(
         # at that boundary: a clamped outlier adds <= 3*max_corr/|seg| to
         # a segment's avg residuum, the same order as its true distance.
         dil = 3.0
-        if s.nn_impl == "sparse":
+        if s.nn_impl in ("sparse", "fused"):
+            # the fused path switches to the plain sparse sweep here: it
+            # exports true per-point correspondences + NN distances
             y_fin, H_fin, _, aux = _allsum_lin(
-                st.x0, s.nn_impl, prune_dilation=dil
+                st.x0, "sparse", prune_dilation=dil
             )
             res_cap = dil * s.max_correspondence_distance
         else:

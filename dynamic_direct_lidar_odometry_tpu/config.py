@@ -489,6 +489,14 @@ def bench_config(**overrides: Any) -> DDLOConfig:
             max_keyframes=64,
             max_keyframe_points=8192,
             nn_chunk=2048,
+            # the dense steady-state town segments into ~40 objects per
+            # scan (boxes + wall pieces); at 32 slots the tracker churns
+            # identities, statuses never leave UNDEFINED, and the
+            # keyframe clouds lose most static structure (the reference
+            # has UNBOUNDED object lists — fixed slots must be sized for
+            # the scene)
+            max_objects=64,
+            max_tracks=64,
         ),
     )
 

@@ -135,7 +135,7 @@ def steady_state_sequence(
 
     from dynamic_direct_lidar_odometry_tpu.io import synthetic
 
-    cache = f"/tmp/ddlo_steady_{n_scans}_{H}x{W}_s{seed}_dt{dt}.npz"
+    cache = f"/tmp/ddlo_steady_v3_{n_scans}_{H}x{W}_s{seed}_dt{dt}.npz"
     if os.path.exists(cache):
         try:
             return ScanSequence.load(cache)
@@ -147,17 +147,52 @@ def steady_state_sequence(
     # threshold 1.0 m (odom.cc:1156-1178); the ~29 m spiral then adds
     # ~25 keyframes over the run
     world = synthetic.World.town(seed=seed, n_static=16, half=15.0)
+    poses = synthetic.spiral_trajectory(n_scans, r0=2.5, r1=9.0, turns=0.8)
+    # the random town must not intersect the trajectory: a sensor pose
+    # inside (or grazing) a box turns that scan into a 2 m "room" that
+    # cannot register against the submap of the outside world — the
+    # first steady-sequence cut drove THROUGH a box at scan 25 and the
+    # trajectory never recovered. Keep walls, drop colliding boxes, and
+    # add fixed replacements in bands the spiral never visits so the
+    # spaciousness (median range -> keyframe threshold) stays put.
+    P = np.array([T[:3, 3] for T in poses])
+
+    def path_clear(b, margin=1.5):
+        lo = b.center[:2] - b.size[:2] / 2
+        hi = b.center[:2] + b.size[:2] / 2
+        d = np.maximum(np.maximum(lo - P[:, :2], P[:, :2] - hi), 0.0)
+        return float(np.min(np.linalg.norm(d, axis=1))) >= margin
+
+    walls, boxes = world.boxes[:4], world.boxes[4:]
+    kept = [b for b in boxes if path_clear(b)]
+    for cx, cy, sx, sy, h in (
+        (5.0, 9.5, 3.0, 2.5, 3.0),
+        (10.5, 4.0, 2.5, 3.5, 4.0),
+        (12.0, -5.0, 3.0, 2.0, 2.5),
+        (4.5, -11.5, 2.5, 2.5, 3.5),
+        (-11.5, -11.0, 3.0, 3.0, 3.0),
+        (-12.5, 3.0, 2.0, 3.0, 4.5),
+    ):
+        b = synthetic.Box(
+            np.array([cx, cy, h / 2]), np.array([sx, sy, h])
+        )
+        if path_clear(b):
+            kept.append(b)
+    world.boxes = walls + kept
+    # movers stay >= 5 m from every sensor position: a moving box that
+    # passes within ~2 m fills a huge part of the panorama and corrupts
+    # ANY rigid registration (the first steady-sequence cut did exactly
+    # that at scan 25-27 and the trajectory never recovered)
     movers = [
         synthetic.Box(
             np.array([6.0, -3.0, 0.9]), np.array([0.8, 0.8, 1.8]),
             np.array([0.9, 0.3, 0.0]),
         ),
         synthetic.Box(
-            np.array([-4.0, 5.0, 0.9]), np.array([0.8, 0.8, 1.8]),
-            np.array([-0.4, -0.8, 0.0]),
+            np.array([-10.5, 9.5, 0.9]), np.array([0.8, 0.8, 1.8]),
+            np.array([0.5, -0.35, 0.0]),
         ),
     ]
-    poses = synthetic.spiral_trajectory(n_scans, r0=2.5, r1=9.0, turns=0.8)
     pts_all, mask_all = [], []
     for i, T in enumerate(poses):
         pts, mask = synthetic.render_scan(

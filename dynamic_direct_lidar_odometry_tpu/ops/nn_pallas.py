@@ -351,7 +351,7 @@ def prepare_sparse_feat(
 
 def _linearize_sparse_kernel(
     cnt_ref, lst_ref, q_ref, rc_ref, tf_ref,
-    scal_ref, dist_ref, m_ref, bw_ref,
+    scal_ref, mb_ref,
     *, t_chunk: int, radius2: float,
 ):
     """The WHOLE GICP linearization for one query tile in one kernel:
@@ -365,60 +365,57 @@ def _linearize_sparse_kernel(
     q_ref: (QT, 3) transformed source tile (invalid rows at SENTINEL)
     rc_ref: (QT, 9) per-point R C_A R^T, row-major
     tf_ref: (12, T) packed target features, transposed
-    scal_ref: (1, 128) tile partials [y0, 21 upper-H terms, 6 b terms]
+    scal_ref: (8, 128) tile partials, row 0 = [y0, 21 upper-H, 6 b]
     dist_ref: (QT//128, 128) winner squared distance
-    m_ref: (QT, 9) per-point Mahalanobis M (for compute_error)
-    bw_ref: (QT, 3) winner coordinates B (for compute_error)
+    mb_ref: (QT, 128) per-point [M row-major 0..8 | B 9..11 | sqd 12 |
+      zeros] — a full-lane layout: narrow (QT, 9)/(QT, 3)/(QT, 1)
+      outputs get padded to 128 lanes ANYWAY by the (8,128) tiling, and
+      as separate buffers that padding (2 x 8.4 MB at 16k points) landed
+      on the kernel's VMEM stack and OOMed it. NOTE every (QT, 1)
+      epilogue column also pads to 128 lanes in VMEM, which is why the
+      default q_tile here is 256 (dozens of live columns).
     """
     i = pl.program_id(0)
     QT = q_ref.shape[0]
-    qxyz, lane, (init_d, init_i) = _query_lanes(q_ref)
-    feats0 = jnp.zeros((12, QT, 128), jnp.float32)
+    qxyz, lane, init = _query_lanes(q_ref)
 
     def body(j, carry):
-        best_d, best_i, feats = carry
         base = lst_ref[i, j] * t_chunk
-        qx, qy, qz = qxyz
-        tx = tf_ref[0, pl.ds(base, t_chunk)].reshape(1, t_chunk)
-        ty = tf_ref[1, pl.ds(base, t_chunk)].reshape(1, t_chunk)
-        tz = tf_ref[2, pl.ds(base, t_chunk)].reshape(1, t_chunk)
-        dx = qx - tx
-        dy = qy - ty
-        dz = qz - tz
-        d = dx * dx + dy * dy + dz * dz
-        for f in range(t_chunk // 128):
-            dd = d[:, f * 128 : (f + 1) * 128]
-            tk = dd < best_d
-            best_i = jnp.where(tk, lane + (base + f * 128), best_i)
-            best_d = jnp.where(tk, dd, best_d)
-            new_f = jnp.stack(
-                [
-                    jnp.broadcast_to(
-                        tf_ref[r, pl.ds(base + f * 128, 128)].reshape(1, 128),
-                        (QT, 128),
-                    )
-                    for r in range(12)
-                ],
-                axis=0,
-            )
-            feats = jnp.where(tk[None, :, :], new_f, feats)
-        return best_d, best_i, feats
+        return _chunk_min_sweep(qxyz, lane, tf_ref, base, t_chunk, *carry)
 
-    best_d, best_i, feats = jax.lax.fori_loop(
-        0, cnt_ref[i], body, (init_d, init_i, feats0)
-    )
+    best_d, best_i = jax.lax.fori_loop(0, cnt_ref[i], body, init)
 
     win = jnp.min(best_d, axis=1, keepdims=True)  # (QT, 1)
     idx_cand = jnp.where(best_d == win, best_i, jnp.int32(2**30))
-    win_idx = jnp.min(idx_cand, axis=1, keepdims=True)
-    dist_ref[:, :] = win[:, 0].reshape(QT // 128, 128)
+    win_idx = jnp.min(idx_cand, axis=1, keepdims=True)  # (QT, 1)
 
-    # winner lane selection: exactly one 1 per query row (or none when no
-    # chunk was swept — feats stay 0, vf gates the row out below)
-    sel = (idx_cand == win_idx).astype(jnp.float32)
-    F = [
-        jnp.sum(feats[r] * sel, axis=1, keepdims=True) for r in range(12)
-    ]  # 12 x (QT, 1)
+    # SECOND pass over the active chunks extracts the winner's features
+    # by global-index match + lane reduction — no (12, QT, 128) feature
+    # carry in the sweep (double-buffered, that carry alone VMEM-OOMed
+    # the one-pass variant at q_tile=1024). Rows with no winner match
+    # nothing and keep 0 features; vf gates them below.
+    def fbody(j, acc):
+        base = lst_ref[i, j] * t_chunk
+        for f in range(t_chunk // 128):
+            b0 = base + f * 128
+            m_ = (win_idx == lane + b0).astype(jnp.float32)  # (QT, 128)
+            acc = tuple(
+                a
+                + jnp.sum(
+                    tf_ref[r, pl.ds(b0, 128)].reshape(1, 128) * m_,
+                    axis=1,
+                    keepdims=True,
+                )
+                for r, a in enumerate(acc)
+            )
+        return acc
+
+    F = jax.lax.fori_loop(
+        0,
+        cnt_ref[i],
+        fbody,
+        tuple(jnp.zeros((QT, 1), jnp.float32) for _ in range(12)),
+    )
     B = F[:3]
     covB = F[3:]
 
@@ -493,14 +490,20 @@ def _linearize_sparse_kernel(
     for k in range(6):
         vals.append(jnp.sum(vf * dot3(Jc[k], Me)))
 
-    lane_row = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
-    out = jnp.zeros((1, 128), jnp.float32)
+    # (8, 128) output block (Mosaic requires sublane multiples of 8);
+    # the 28 scalars live in row 0, rows 1-7 stay zero
+    lane_row = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+    sub_row = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+    out = jnp.zeros((8, 128), jnp.float32)
     for t_, v in enumerate(vals):
-        out = out + jnp.where(lane_row == t_, v, 0.0)
+        out = out + jnp.where((lane_row == t_) & (sub_row == 0), v, 0.0)
     scal_ref[:, :] = out
 
-    m_ref[:, :] = jnp.concatenate(M, axis=1)
-    bw_ref[:, :] = jnp.concatenate(B, axis=1)
+    feat_lane = jax.lax.broadcasted_iota(jnp.int32, (QT, 128), 1)
+    mb = jnp.zeros((QT, 128), jnp.float32)
+    for r_, col in enumerate(list(M) + list(B) + [win]):
+        mb = mb + jnp.where(feat_lane == r_, col, 0.0)
+    mb_ref[:, :] = mb
 
 
 def linearize_sparse_pallas(
@@ -509,7 +512,7 @@ def linearize_sparse_pallas(
     prep: SparseTarget,
     radius: float,
     prune_radius: float | None = None,
-    q_tile: int = 512,
+    q_tile: int = 256,
 ):
     """Fused GICP linearization against a :func:`prepare_sparse_feat`
     target: one pallas_call returns (y0, H, b, sqd, M, B) — everything
@@ -542,8 +545,7 @@ def linearize_sparse_pallas(
     counts, lst = _sparse_chunk_lists(overlap)
 
     grid = (n_tiles,)
-    rows = q_tile // 128
-    scal, dist, m9, bw = pl.pallas_call(
+    scal, mb = pl.pallas_call(
         partial(
             _linearize_sparse_kernel,
             t_chunk=t_chunk,
@@ -568,32 +570,23 @@ def linearize_sparse_pallas(
             ],
             out_specs=[
                 pl.BlockSpec(
-                    (1, 128), lambda i, c, l: (i, 0),
+                    (8, 128), lambda i, c, l: (i, 0),
                     memory_space=pltpu.VMEM,
                 ),
                 pl.BlockSpec(
-                    (rows, 128), lambda i, c, l: (i, 0),
-                    memory_space=pltpu.VMEM,
-                ),
-                pl.BlockSpec(
-                    (q_tile, 9), lambda i, c, l: (i, 0),
-                    memory_space=pltpu.VMEM,
-                ),
-                pl.BlockSpec(
-                    (q_tile, 3), lambda i, c, l: (i, 0),
+                    (q_tile, 128), lambda i, c, l: (i, 0),
                     memory_space=pltpu.VMEM,
                 ),
             ],
         ),
         out_shape=[
-            jax.ShapeDtypeStruct((n_tiles, 128), jnp.float32),
-            jax.ShapeDtypeStruct((Qp // 128, 128), jnp.float32),
-            jax.ShapeDtypeStruct((Qp, 9), jnp.float32),
-            jax.ShapeDtypeStruct((Qp, 3), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles * 8, 128), jnp.float32),
+            jax.ShapeDtypeStruct((Qp, 128), jnp.float32),
         ],
     )(counts, lst, q, rc, prep.tt)
 
-    vals = jnp.sum(scal, axis=0)  # (128,) summed tile partials
+    # row 0 of each tile's (8, 128) block carries the partials
+    vals = jnp.sum(scal.reshape(n_tiles, 8, 128)[:, 0, :], axis=0)
     y0 = vals[0]
     H = jnp.zeros((6, 6), jnp.float32)
     t_ = 1
@@ -604,9 +597,9 @@ def linearize_sparse_pallas(
                 H = H.at[l, k].set(vals[t_])
             t_ += 1
     b = vals[t_ : t_ + 6]
-    sqd = dist.reshape(-1)[:Q]
-    M = m9[:Q].reshape(Q, 3, 3)
-    B = bw[:Q]
+    sqd = mb[:Q, 12]
+    M = mb[:Q, :9].reshape(Q, 3, 3)
+    B = mb[:Q, 9:12]
     return y0, H, b, sqd, M, B
 
 

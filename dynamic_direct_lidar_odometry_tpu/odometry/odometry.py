@@ -80,12 +80,14 @@ class OdomOutputs(NamedTuple):
 
 
 def _nn_impl_from_env() -> str:
-    """Correspondence-backend selection: DDLO_NN_IMPL wins, the legacy
-    boolean flags map onto it. Default is "sparse" — the TPU full-
-    pipeline winner (76.3 ms vs 81.0 ms "auto" at 64x2048 bench scale,
-    tools/tpu_sweep.py, v5e): AABB-pruned Pallas sweeps inside the LM
-    loop, exact final residual pass (gicp.align). On CPU "sparse" falls
-    back to the exact XLA sweep, so tests/golden are unaffected."""
+    """Correspondence-backend selection (DDLO_NN_IMPL, trace-time).
+    Default "sparse": block-sparse Pallas sweeps over per-tile active-
+    chunk lists inside the LM loop (exact within the correspondence
+    gate), exact final residual pass (gicp.align). "fused" runs the
+    whole linearization in one Pallas kernel (parity-tested; measured
+    slower on v5e — column-layout epilogue underuses the VPU lanes).
+    On CPU every impl falls back to the exact XLA sweep, so tests and
+    goldens are unaffected."""
     import os
 
     impl = os.environ.get("DDLO_NN_IMPL")

@@ -119,6 +119,9 @@ def main():
     ap.add_argument("--scans", type=int, default=64)
     ap.add_argument("--out", default=os.path.join(REPO, "ACCURACY_r03.json"))
     ap.add_argument("--child", action="store_true")
+    ap.add_argument("--reuse", action="store_true",
+                    help="skip variants whose .accuracy_runs npz already "
+                         "exists (same code/sequence)")
     ap.add_argument("--npz", default="")
     ap.add_argument("--require-platform", default="tpu")
     args = ap.parse_args()
@@ -138,9 +141,12 @@ def main():
 
     # CPU leg first: no relay needed
     for name in ("cpu_exact",):
+        npz = os.path.join(tmpdir, f"{name}.npz")
+        if args.reuse and os.path.exists(npz):
+            print(f"[accuracy] reusing {npz}", flush=True)
+            continue
         print(f"[accuracy] running {name} ...", flush=True)
-        out = run_child(name, args.scans, os.path.join(tmpdir, f"{name}.npz"),
-                        timeout_s=3600)
+        out = run_child(name, args.scans, npz, timeout_s=3600)
         print(f"[accuracy] {name}: {out.strip()}", flush=True)
 
     # TPU legs behind the relay probe
@@ -159,9 +165,12 @@ def main():
         return 1
 
     for name in ("tpu_default", "tpu_exact"):
+        npz = os.path.join(tmpdir, f"{name}.npz")
+        if args.reuse and os.path.exists(npz):
+            print(f"[accuracy] reusing {npz}", flush=True)
+            continue
         print(f"[accuracy] running {name} ...", flush=True)
-        out = run_child(name, args.scans, os.path.join(tmpdir, f"{name}.npz"),
-                        timeout_s=2400)
+        out = run_child(name, args.scans, npz, timeout_s=2400)
         print(f"[accuracy] {name}: {out.strip()}", flush=True)
 
     for name in VARIANTS:

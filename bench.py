@@ -195,46 +195,61 @@ def run_timed():
         )
         return (jnp.asarray(cv), jnp.asarray(cc))
 
-    state = pipeline.init_state(
-        cfg, jnp.asarray(seq.points[0]), jnp.asarray(seq.mask[0]), 0.0
-    )
-    hulls = host_hulls(state)
-
-    # warm up: compile the chunked transition + populate store branches
-    state, _ = pipeline.step_chunk(cfg, state, *chunk_args(1), hulls)
-    hulls = host_hulls(state)
-    # relay gotcha: block_until_ready returns at enqueue time; the only
-    # honest sync is a device->host fetch (utils/devtime.py)
-    devtime.sync(state)
-    fetch_ov = devtime.fetch_overhead(state)
-
-    # timed: replay the remaining 56 distinct scans in 7 chunked
-    # dispatches (keyframe adds + submap churn + hull refresh inside the
-    # window; the scan loop inside each chunk is strictly sequential)
     n_chunks = (len(seq) - 1 - K) // K
     n_timed = n_chunks * K
-    prev_state = state
-    t0 = time.perf_counter()
-    for c in range(n_chunks):
-        state, out = pipeline.step_chunk(
-            cfg, state, *chunk_args(1 + K + c * K), hulls
-        )
-        # hulls for the NEXT chunk from the previous chunk's final state:
-        # blocks on already-finished work while this chunk computes
-        hulls = host_hulls(prev_state)
-        prev_state = state
-    devtime.sync(state)
-    dt = max(time.perf_counter() - t0 - fetch_ov, 1e-9)
 
-    n_kf = int(np.asarray(state.odom.store.valid).sum())
-    hz = n_timed / dt
+    def one_pass():
+        """Init + warmup chunk, then the timed 56-scan steady-state replay.
+
+        Hull masks for chunk c+1 are fetched from the state ENTERING chunk
+        c (already computed, so the fetch overlaps chunk c's device work):
+        exactly one chunk (K scans) stale, mirroring runner.py's one-scan-
+        late refresh at chunk granularity."""
+        state = pipeline.init_state(
+            cfg, jnp.asarray(seq.points[0]), jnp.asarray(seq.mask[0]), 0.0
+        )
+        hulls = host_hulls(state)
+        # warm up: compile the chunked transition + populate store branches
+        state, _ = pipeline.step_chunk(cfg, state, *chunk_args(1), hulls)
+        hulls = host_hulls(state)
+        # relay gotcha: block_until_ready returns at enqueue time; the only
+        # honest sync is a device->host fetch (utils/devtime.py)
+        devtime.sync(state)
+        fetch_ov = devtime.fetch_overhead(state)
+
+        t0 = time.perf_counter()
+        for c in range(n_chunks):
+            entering = state
+            state, out = pipeline.step_chunk(
+                cfg, state, *chunk_args(1 + K + c * K), hulls
+            )
+            hulls = host_hulls(entering)
+            del out
+        devtime.sync(state)
+        dt = max(time.perf_counter() - t0 - fetch_ov, 1e-9)
+        return n_timed / dt, int(np.asarray(state.odom.store.valid).sum())
+
+    # >= 3 timed passes: relay dispatch jitter and hull-host timing are
+    # on the order of a round's perf progress, so the number of record is
+    # the MEDIAN with min/max spread, not a single lucky pass
+    n_passes = int(os.environ.get("DDLO_BENCH_PASSES", "3"))
+    passes = []
+    n_kf = 0
+    for _ in range(max(n_passes, 1)):
+        hz_i, n_kf = one_pass()
+        passes.append(round(hz_i, 3))
+        _log(f"[bench] pass {len(passes)}/{n_passes}: {hz_i:.2f} Hz")
+    hz = float(np.median(passes))
     print(json.dumps({
         "metric": "ddlo_pipeline_rate",
         "value": round(hz, 3),
         "unit": "Hz (64x2048 scans/s, full dynamic pipeline, 1 chip, "
                 "steady-state %d-keyframe replay, %d-scan dispatch "
-                "chunks)" % (n_kf, K),
+                "chunks; median of %d passes)" % (n_kf, K, len(passes)),
         "vs_baseline": round(hz / 10.0, 3),
+        "passes_hz": passes,
+        "min_hz": min(passes),
+        "max_hz": max(passes),
     }))
 
 

@@ -189,7 +189,8 @@ def _nn1_sparse_kernel(
     expensive as the sweep it skipped (~6 vs 8 ms at 4-6 % density).
 
     cnt_ref: (n_tiles,) int32   lst_ref: (n_tiles, n_chunks) int32
-    qt_ref: (3, QT) query tile  tt_ref: (3, T) full target
+    qt_ref: (QT, 3) row-major query tile (see :func:`_query_lanes`)
+    tt_ref: (3, T) full target
     """
     i = pl.program_id(0)
     qxyz, lane, init = _query_lanes(qt_ref)
@@ -250,13 +251,18 @@ def nn1_sparse_prepared(
     n_chunks = prep.t_lo.shape[0]
     t_chunk = Tp // n_chunks
 
-    q = _pad_rows(query, q_tile, 0.0)
+    q = _pad_rows(query, q_tile, 1.0e6)
     Qp = q.shape[0]
     n_tiles = Qp // q_tile
 
-    # tile/chunk AABBs + dilated overlap test (all-axes separation)
+    # tile/chunk AABBs + dilated overlap test (all-axes separation).
+    # Sentinel rows (masked-out points and the tile padding, both at
+    # +1e6) are excluded from the boxes so they never inflate a tile:
+    # an all-sentinel tile gets an empty box and sweeps zero chunks.
     qb = q.reshape(n_tiles, q_tile, 3)
-    q_lo, q_hi = qb.min(axis=1), qb.max(axis=1)  # (n_tiles, 3)
+    q_real = jnp.all(qb < 5.0e5, axis=-1, keepdims=True)  # (n_tiles, q_tile, 1)
+    q_lo = jnp.min(jnp.where(q_real, qb, jnp.inf), axis=1)  # (n_tiles, 3)
+    q_hi = jnp.max(jnp.where(q_real, qb, -jnp.inf), axis=1)
     overlap = jnp.all(
         (q_lo[:, None, :] - radius <= prep.t_hi[None, :, :])
         & (q_hi[:, None, :] + radius >= prep.t_lo[None, :, :]),
@@ -366,7 +372,6 @@ def _linearize_sparse_kernel(
     rc_ref: (QT, 9) per-point R C_A R^T, row-major
     tf_ref: (12, T) packed target features, transposed
     scal_ref: (8, 128) tile partials, row 0 = [y0, 21 upper-H, 6 b]
-    dist_ref: (QT//128, 128) winner squared distance
     mb_ref: (QT, 128) per-point [M row-major 0..8 | B 9..11 | sqd 12 |
       zeros] — a full-lane layout: narrow (QT, 9)/(QT, 3)/(QT, 1)
       outputs get padded to 128 lanes ANYWAY by the (8,128) tiling, and

@@ -105,19 +105,29 @@ def child_main(n_scans: int, npz_path: str, require_platform: str):
 
 
 def pairwise_ate(a, b):
+    """RMSE between two variants' trajectories, aligned by scan STAMP
+    (not raw index): if either variant dropped scans mid-run, index
+    alignment would silently compare mismatched scans."""
     import numpy as np
 
-    n = min(len(a["poses"]), len(b["poses"]))
-    if n == 0:
+    for v in (a, b):
+        if int(v.get("dropped", 0)) != 0:
+            raise RuntimeError(
+                f"variant dropped {int(v['dropped'])} scans; pairwise ATE "
+                "would compare misaligned trajectories"
+            )
+    sa, sb = np.asarray(a["stamps"]), np.asarray(b["stamps"])
+    common, ia, ib = np.intersect1d(sa, sb, return_indices=True)
+    if len(common) == 0:
         return float("nan")
-    d = a["poses"][:n] - b["poses"][:n]
+    d = a["poses"][ia] - b["poses"][ib]
     return float(np.sqrt(np.mean(np.sum(d * d, axis=1))))
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--scans", type=int, default=64)
-    ap.add_argument("--out", default=os.path.join(REPO, "ACCURACY_r03.json"))
+    ap.add_argument("--out", default=os.path.join(REPO, "ACCURACY_r04.json"))
     ap.add_argument("--child", action="store_true")
     ap.add_argument("--reuse", action="store_true",
                     help="skip variants whose .accuracy_runs npz already "

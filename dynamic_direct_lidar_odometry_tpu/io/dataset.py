@@ -240,18 +240,22 @@ def convert_rosbag(
         ) from e
     import pathlib
 
+    from dynamic_direct_lidar_odometry_tpu.io import pointcloud2 as pc2
+
     pts_all, mask_all, stamps = [], [], []
     with AnyReader([pathlib.Path(bag_path)]) as reader:  # pragma: no cover
         conns = [c for c in reader.connections if c.topic == topic]
         for conn, ts, raw in reader.messages(connections=conns):
             msg = reader.deserialize(raw, conn.msgtype)
-            arr = np.frombuffer(msg.data, dtype=np.uint8)
-            arr = arr.reshape(msg.height * msg.width, msg.point_step)
-            xyz = arr[:, :12].view(np.float32).reshape(-1, 3)
-            if len(xyz) != H * W:
+            n = msg.height * msg.width
+            if n != H * W:
                 continue
-            m = np.isfinite(xyz).all(axis=1)
-            pts_all.append(np.where(m[:, None], xyz, np.nan))
+            pts, m = pc2.decode_scan(
+                bytes(msg.data), n, msg.point_step,
+                offsets=pc2.field_offsets(msg.fields),
+                is_bigendian=bool(msg.is_bigendian),
+            )
+            pts_all.append(pts)
             mask_all.append(m)
             stamps.append(ts * 1e-9)
     ScanSequence(

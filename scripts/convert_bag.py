@@ -26,20 +26,38 @@ ROS1 ``rosbag`` python API.
 from __future__ import annotations
 
 import argparse
+import importlib.util
+import os
 import sys
 
 import numpy as np
 
 
-def _xyz_from_cloud(data: bytes, n: int, point_step: int, x_offset: int):
-    arr = np.frombuffer(data, dtype=np.uint8).reshape(n, point_step)
-    xyz = (
-        arr[:, x_offset:x_offset + 12]
-        .copy()
-        .view(np.float32)
-        .reshape(n, 3)
+def _load_pc2():
+    """Load the shared PointCloud2 decoder WITHOUT importing the package
+    (whose __init__ pulls in jax — not available on a bare ROS host).
+    The module itself is numpy-only."""
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "dynamic_direct_lidar_odometry_tpu", "io", "pointcloud2.py",
     )
-    return xyz
+    spec = importlib.util.spec_from_file_location("_ddlo_pc2", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+pc2 = _load_pc2()
+
+
+def _decode(msg_data: bytes, msg) -> np.ndarray:
+    return pc2.decode_xyz(
+        msg_data,
+        msg.height * msg.width,
+        msg.point_step,
+        offsets=pc2.field_offsets(msg.fields),
+        is_bigendian=bool(getattr(msg, "is_bigendian", False)),
+    )
 
 
 def _read_with_rosbags(bag, topic, imu_topic):
@@ -52,14 +70,7 @@ def _read_with_rosbags(bag, topic, imu_topic):
         for conn, ts, raw in reader.messages(connections=conns):
             msg = reader.deserialize(raw, conn.msgtype)
             if conn.topic == topic:
-                x_off = next(
-                    f.offset for f in msg.fields if f.name == "x"
-                )
-                xyz = _xyz_from_cloud(
-                    bytes(msg.data), msg.height * msg.width,
-                    msg.point_step, x_off,
-                )
-                clouds.append(xyz)
+                clouds.append(_decode(bytes(msg.data), msg))
                 stamps.append(ts * 1e-9)
             elif imu_topic and conn.topic == imu_topic:
                 a = msg.linear_acceleration
@@ -75,13 +86,7 @@ def _read_with_rosbag1(bag, topic, imu_topic):
     with rosbag.Bag(bag) as b:
         for top, msg, t in b.read_messages(topics=topics):
             if top == topic:
-                x_off = next(
-                    f.offset for f in msg.fields if f.name == "x"
-                )
-                xyz = _xyz_from_cloud(
-                    msg.data, msg.height * msg.width, msg.point_step, x_off
-                )
-                clouds.append(xyz)
+                clouds.append(_decode(msg.data, msg))
                 stamps.append(msg.header.stamp.to_sec())
             else:
                 a = msg.linear_acceleration
@@ -124,7 +129,7 @@ def main(argv=None) -> int:
         if len(xyz) != HW:
             skipped += 1
             continue
-        m = np.isfinite(xyz).all(axis=1) & (np.abs(xyz) < 1e6).all(axis=1)
+        m = pc2.valid_mask(xyz)
         pts_all.append(np.where(m[:, None], xyz, np.nan).astype(np.float32))
         mask_all.append(m)
         kept_stamps.append(ts)

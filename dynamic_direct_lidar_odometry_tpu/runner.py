@@ -95,6 +95,12 @@ def replay(
       ``out_dir/clouds/`` — the offline analogue of the reference's
       per-stage rviz topics (odom.cc:43-52, gated on subscribers there,
       on the export period here).
+    - ``out_dir/tracks.jsonl``: one JSON line per ACTIVE track per scan
+      (scan idx, stamp, id, status, 7-d state, velocity, hits, matched)
+      — the offline analogue of ``publishBBoxes``'s per-frame
+      status-namespaced bbox + label topics (tracking.cpp:257-398), so
+      status transitions / ghost tracks / identity churn are
+      inspectable without a debugger.
     """
     # config-driven evaluation dumps (odomNode/evaluation/*, the YAML way
     # of enabling what the `evaluate` kwarg enables)
@@ -115,6 +121,11 @@ def replay(
     prof = profiling.Profiler()
     pose_rec = trajectory.PoseRecorder()
     obj_trajs = trajectory.ObjectTrajectories()
+    track_log = (
+        open(os.path.join(out_dir, "tracks.jsonl"), "w")
+        if out_dir and cfg.dynamic_detection
+        else None
+    )
 
     pts0 = jnp.asarray(seq.points[0])
     msk0 = jnp.asarray(seq.mask[0])
@@ -245,6 +256,33 @@ def replay(
             np.asarray(trk.active) & (np.asarray(trk.status) == DYNAMIC),
             p["stamp"],
         )
+        if track_log is not None:
+            # per-frame all-status track export (publishBBoxes,
+            # tracking.cpp:257-398: UNDEFINED/STATIC/DYNAMIC namespaces
+            # with id + velocity labels)
+            import json
+
+            active = np.asarray(trk.active)
+            if active.any():
+                ids = np.asarray(trk.filter_id)
+                status = np.asarray(trk.status)
+                x = np.asarray(trk.x)
+                hits = np.asarray(trk.hits)
+                det_slot = np.asarray(trk.det_slot)
+                names = ("UNDEFINED", "STATIC", "DYNAMIC")
+                for s in np.nonzero(active)[0]:
+                    track_log.write(json.dumps({
+                        "scan": i,
+                        "stamp": p["stamp"],
+                        "id": int(ids[s]),
+                        "status": names[int(status[s])],
+                        "state": [round(float(v), 4) for v in x[s, :7]],
+                        "velocity": [
+                            round(float(v), 4) for v in x[s, 7:10]
+                        ],
+                        "hits": int(hits[s]),
+                        "matched": bool(det_slot[s] >= 0),
+                    }) + "\n")
         dyn_np = np.asarray(out.dynamic_mask)
         n_dyn = int(dyn_np.sum())
         dyn_counts.append(n_dyn)
@@ -374,6 +412,8 @@ def replay(
         import signal
 
         signal.signal(signal.SIGUSR1, prev_usr1)
+    if track_log is not None:
+        track_log.close()
 
     # keyframe-store saturation telemetry (the store overwrites its last
     # slot once full — silent in round 1, now surfaced)

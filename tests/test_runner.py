@@ -103,6 +103,58 @@ def test_replay_checkpoint_resume(tmp_path):
     )
 
 
+def test_track_log_status_transitions(tmp_path):
+    """tracks.jsonl (the offline publishBBoxes analogue,
+    tracking.cpp:257-398) records every active track each frame, and a
+    mover's UNDEFINED -> STATIC -> DYNAMIC transition appears in it."""
+    import json
+
+    seq = _seq(n=14)
+    cfg = _small_cfg(seq.H, seq.W)
+    # force a STATIC phase before DYNAMIC: promote UNDEFINED->STATIC
+    # after 2 hits, and require ~5 scans of travel before the dynamic
+    # gate (1.5 m/s mover, dt=0.1)
+    cfg = dataclasses.replace(
+        cfg,
+        tracking=dataclasses.replace(
+            cfg.tracking,
+            max_undefined_hits=2,
+            min_dynamic_hits=4,
+            min_dist_from_origin=0.7,
+            residuum_height_ratio=0.0,
+        ),
+    )
+    out = os.path.join(tmp_path, "run")
+    runner.replay(cfg, seq, out_dir=out, map_capacity=20_000)
+
+    path = os.path.join(out, "tracks.jsonl")
+    assert os.path.exists(path)
+    with open(path) as f:
+        recs = [json.loads(line) for line in f]
+    assert recs, "no track records at all"
+    for r in recs:
+        assert {"scan", "stamp", "id", "status", "state", "velocity",
+                "hits", "matched"} <= set(r)
+        assert len(r["state"]) == 7 and len(r["velocity"]) == 3
+
+    # per-id status history, in scan order
+    hist = {}
+    for r in recs:
+        hist.setdefault(r["id"], []).append(r["status"])
+    ranks = {"UNDEFINED": 0, "STATIC": 1, "DYNAMIC": 2}
+    dyn_ids = [i for i, h in hist.items() if "DYNAMIC" in h]
+    assert dyn_ids, f"no track turned DYNAMIC; histories: {hist}"
+    full = [
+        i for i in dyn_ids
+        if {"UNDEFINED", "STATIC", "DYNAMIC"} <= set(hist[i])
+    ]
+    assert full, f"no UNDEFINED->STATIC->DYNAMIC track; histories: {hist}"
+    for i in full:
+        r = [ranks[s] for s in hist[i]]
+        assert r == sorted(r), f"non-monotone status for id {i}: {hist[i]}"
+        assert r[0] == 0, hist[i]
+
+
 def test_nan_watchdog_rolls_back_pipelined_loop(monkeypatch):
     """A scan whose step produces a non-finite pose must be dropped along
     with the in-flight step built on it, and replay must continue from

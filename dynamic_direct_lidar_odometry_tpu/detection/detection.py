@@ -105,7 +105,11 @@ def detect(
         window=_window_mask(cfg),
     )
 
-    stats = segmentation.segment_stats(
+    # fused gates + compaction over candidate roots: one scatter total
+    # (vs segment_stats' three + the presence scatter); equivalence with
+    # the exact segment_stats/compact_segments path is tested in
+    # tests/test_detection_ops.py
+    roots, slot_valid, pixel_slot, avg_res = segmentation.segment_objects(
         seg_res.labels,
         ri.ranges,
         ri.points,
@@ -118,13 +122,9 @@ def detect(
         det.min_delta_z,
         det.max_delta_z,
         det.max_elevation,
+        cfg.capacity.max_objects,
+        candidates=cfg.capacity.segment_candidates,
     )
-
-    roots, slot_valid, pixel_slot = segmentation.compact_segments(
-        seg_res.labels, stats, cfg.capacity.max_objects
-    )
-    avg_res = stats.avg_residuum[jnp.clip(roots, 0, stats.avg_residuum.shape[0] - 1)]
-    avg_res = jnp.where(slot_valid, avg_res, 0.0)
 
     objects = bbox_ops.pca_bboxes(
         ri.points,

@@ -407,28 +407,50 @@ def keyframe_decision(
     return new_kf
 
 
-@partial(jax.jit, static_argnames=("cfg",))
+@partial(jax.jit, static_argnames=("cfg", "refilter"))
 def update_keyframes(
     cfg: DDLOConfig,
     state: OdomState,
     world_points: jnp.ndarray,
     world_mask: jnp.ndarray,
+    refilter: bool = False,
 ) -> Tuple[OdomState, jnp.ndarray]:
     """Conditionally add the current (world-frame, dynamic-free) scan as a
-    keyframe (odom.cc:1067-1154). Returns (state', added?)."""
+    keyframe (odom.cc:1067-1154). Returns (state', added?).
+
+    ``refilter``: the input is the RAW (H*W) dynamic-free segmentation
+    cloud and the scan-resolution re-filter voxel pass (odom.cc:901-918)
+    still needs to run. Doing it here — inside the keyframe ``lax.cond``
+    — instead of unconditionally in pipeline.step saves the ~4 ms
+    131k-point voxel pass on every scan that does NOT add a keyframe
+    (its output has no other consumer; the map node voxelizes incoming
+    keyframes at its own leaf size again anyway, map.cc:101-131)."""
     new_kf = keyframe_decision(cfg, state, state.pose, state.rotq)
 
     def add(store):
+        pts_in, mask_in = world_points, world_mask
+        if refilter:
+            # re-filter at scan resolution (odom.cc:901-918), conditionally
+            if cfg.preprocessing.voxel_scan.use:
+                pts_in, mask_in = filters.voxel_downsample(
+                    pts_in, mask_in,
+                    cfg.preprocessing.voxel_scan.res,
+                    cfg.capacity.max_points,
+                )
+            else:
+                pts_in, mask_in = filters.compact(
+                    pts_in, mask_in, cfg.capacity.max_points
+                )
         if cfg.preprocessing.voxel_submap.use:
             pts, mask = filters.voxel_downsample(
-                world_points,
-                world_mask,
+                pts_in,
+                mask_in,
                 cfg.preprocessing.voxel_submap.res,
                 cfg.capacity.max_keyframe_points,
             )
         else:
             pts, mask = filters.compact(
-                world_points, world_mask, cfg.capacity.max_keyframe_points
+                pts_in, mask_in, cfg.capacity.max_keyframe_points
             )
         covs = covariance.plane_covariances(
             pts, mask, k=cfg.gicp.s2s.k_correspondences

@@ -249,3 +249,59 @@ def obb_iou(b1: jnp.ndarray, b2: jnp.ndarray) -> jnp.ndarray:
 obb_iou_matrix = jax.jit(
     jax.vmap(jax.vmap(obb_iou, in_axes=(None, 0)), in_axes=(0, None))
 )
+
+
+@partial(jax.jit, static_argnames=("budget",))
+def obb_iou_matrix_gated(
+    det_state: jnp.ndarray,  # (D, 7)
+    trk_state: jnp.ndarray,  # (T, 7)
+    det_valid: jnp.ndarray,  # (D,)
+    trk_valid: jnp.ndarray,  # (T,)
+    budget: int = 256,
+) -> jnp.ndarray:
+    """(D, T) OBB IoU matrix, paying Sutherland-Hodgman only for pairs
+    that can actually overlap.
+
+    The dense matrix clips every (det, track) pair — 4096 tiny-matmul
+    polygon clips at 64x64 slots, of which a real scene has well under a
+    hundred with nonzero IoU (the reference computes the same matrix for
+    ~5 objects, tracking.cpp:96-114). Here two exact necessary conditions
+    gate the pairs first:
+
+      * z-extents overlap: |cz_d - cz_t| < (h_d + h_t) / 2
+      * XY centers within the sum of the rectangles' circumradii
+
+    plus slot validity. Surviving pairs are compacted to a fixed
+    ``budget`` via top_k (preferring the CLOSEST pairs by center
+    distance), clipped, and scattered back; gated-out pairs are exactly
+    IoU = 0. If more than ``budget`` pairs survive the gate (degenerate
+    scenes), the farthest extras are approximated as 0 — the assignment
+    cost then treats them as non-overlapping, which is where far pairs
+    land anyway.
+    """
+    D, T = det_state.shape[0], trk_state.shape[0]
+    P = D * T
+    B = min(budget, P)
+
+    dz = jnp.abs(det_state[:, None, 2] - trk_state[None, :, 2])
+    z_ok = dz < 0.5 * (det_state[:, None, 6] + trk_state[None, :, 6])
+    dxy = jnp.linalg.norm(
+        det_state[:, None, :2] - trk_state[None, :, :2], axis=-1
+    )
+    rad_d = 0.5 * jnp.linalg.norm(det_state[:, 4:6], axis=-1)
+    rad_t = 0.5 * jnp.linalg.norm(trk_state[:, 4:6], axis=-1)
+    xy_ok = dxy <= rad_d[:, None] + rad_t[None, :]
+    gate = det_valid[:, None] & trk_valid[None, :] & z_ok & xy_ok
+
+    flat_gate = gate.reshape(-1)
+    score = jnp.where(flat_gate, -dxy.reshape(-1), -jnp.inf)
+    vals, sel = jax.lax.top_k(score, B)
+    ok = vals > -jnp.inf
+    di = jnp.clip(sel // T, 0, D - 1)
+    ti = jnp.clip(sel % T, 0, T - 1)
+    ious = jax.vmap(obb_iou)(det_state[di], trk_state[ti])
+    iou_flat = jnp.zeros((P,), ious.dtype)
+    iou_flat = iou_flat.at[jnp.where(ok, sel, P)].set(
+        jnp.where(ok, ious, 0.0), mode="drop"
+    )
+    return iou_flat.reshape(D, T)

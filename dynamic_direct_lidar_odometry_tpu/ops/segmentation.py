@@ -267,6 +267,116 @@ def segment_stats(
     return SegmentStats(size, line_count, min_z, max_z, max_dist, avg_res, feasible)
 
 
+@partial(jax.jit, static_argnames=("max_objects", "candidates"))
+def segment_objects(
+    labels: jnp.ndarray,  # (H, W) from label_components
+    ranges: jnp.ndarray,
+    points: jnp.ndarray,  # (H, W, 3) world frame
+    residual_img: jnp.ndarray,  # (H, W)
+    sensor_height: jnp.ndarray,  # () T_(2,3)
+    min_line_num: int,
+    valid_point_num: int,
+    valid_line_num: int,
+    max_distance: float,
+    min_delta_z: float,
+    max_delta_z: float,
+    max_elevation: float,
+    max_objects: int,
+    candidates: int = 256,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Fused feasibility gates + slot compaction over CANDIDATE roots.
+
+    :func:`segment_stats` + :func:`compact_segments` compute every
+    per-root statistic with segment_sum/min scatters over H*W segments
+    (plus a (H*W)*H presence scatter for the distinct-row count) — TPU
+    scatters serialize per row, making this the detection hot spot
+    (~7 ms at 64x2048). The only thing that genuinely needs a full
+    per-root reduction is the RANKING signal (pixel count); everything
+    else is only consulted for roots that could become object slots.
+
+    So: ONE scalar segment-sum for sizes -> top-``candidates`` roots
+    that pass the minimum-size gate -> every remaining stat (distinct
+    rows, z extents, max range, residual means) as dense (K, n) masked
+    reductions/matmuls over just those candidates — the same
+    MXU/VPU-friendly pattern as :func:`..bbox.pca_bboxes`. Gates match
+    segment_stats exactly (including the hardcoded size-50 of
+    detection.cpp:669).
+
+    Equivalence to the exact path: bit-identical (same top_k
+    tie-breaking by root id) whenever the final ``max_objects`` feasible
+    roots rank inside the top-``candidates`` roots by size. With the
+    default 256-candidate budget a feasible object is only ever lost if
+    256 LARGER components pass the minimum-size gate first — a scene
+    with more sizeable components than tracker slots by 4x, where the
+    smallest objects are already being dropped by the slot cap.
+
+    Returns:
+      slot_roots: (max_objects,) root id per slot (or -1)
+      slot_valid: (max_objects,) bool
+      pixel_slot: (H, W) int32 slot per pixel (-1 if none / infeasible)
+      slot_avg_residuum: (max_objects,) mean positive residual per slot
+    """
+    H, W = labels.shape
+    n = H * W
+    lab = labels.reshape(-1)
+    member = lab >= 0
+    seg = jnp.where(member, lab, n)
+
+    # the one remaining scatter: per-root pixel count
+    sizes = jax.ops.segment_sum(
+        member.astype(jnp.float32), seg, num_segments=n + 1
+    )[:n]
+
+    K = min(candidates, n)
+    min_size = jnp.minimum(jnp.float32(50.0), jnp.float32(valid_point_num))
+    cand_score = jnp.where(sizes >= jnp.maximum(min_size, 1.0), sizes, -1.0)
+    cand_sz, cand_roots = jax.lax.top_k(cand_score, K)
+    cand_ok = cand_sz > 0
+    size = jnp.maximum(cand_sz, 0.0)
+
+    # dense (K, n) candidate membership; all stats fuse over it
+    onehot = lab[None, :] == cand_roots[:, None]
+    onehot = onehot & cand_ok[:, None]
+
+    rows_any = jnp.any(onehot.reshape(K, H, W), axis=2)
+    line_count = jnp.sum(rows_any.astype(jnp.float32), axis=1)
+
+    z = points[..., 2].reshape(-1)
+    r = ranges.reshape(-1)
+    res = residual_img.reshape(-1)
+    big = jnp.float32(1e9)
+    min_z = jnp.min(jnp.where(onehot, z[None, :], big), axis=1)
+    max_z = jnp.max(jnp.where(onehot, z[None, :], -big), axis=1)
+    max_dist = jnp.max(jnp.where(onehot, r[None, :], -big), axis=1)
+    res_pos = onehot & (res > 0)[None, :]
+    res_sum = jnp.sum(jnp.where(res_pos, res[None, :], 0.0), axis=1)
+    res_cnt = jnp.sum(res_pos.astype(jnp.float32), axis=1)
+    avg_res = jnp.where(res_cnt > 0, res_sum / jnp.maximum(res_cnt, 1.0), 0.0)
+
+    feasible = (size >= 50) & (line_count >= min_line_num)
+    feasible = feasible | (
+        (size >= valid_point_num) & (line_count >= valid_line_num)
+    )
+    feasible = feasible & (max_dist <= max_distance)
+    dz = max_z - min_z
+    feasible = feasible & (min_delta_z <= dz) & (dz <= max_delta_z)
+    feasible = feasible & ((min_z - sensor_height) <= max_elevation)
+    feasible = feasible & cand_ok & (size > 0)
+
+    final_score = jnp.where(feasible, size, -1.0)
+    top_sz, top_idx = jax.lax.top_k(final_score, max_objects)
+    slot_valid = top_sz > 0
+    slot_roots = jnp.where(slot_valid, cand_roots[top_idx], -1).astype(jnp.int32)
+    slot_avg_res = jnp.where(slot_valid, avg_res[top_idx], 0.0)
+
+    root_to_slot = jnp.full((n + 1,), -1, jnp.int32)
+    root_to_slot = root_to_slot.at[jnp.where(slot_valid, slot_roots, n)].set(
+        jnp.arange(max_objects, dtype=jnp.int32), mode="drop"
+    )
+    pixel_slot = jnp.where(member, root_to_slot[jnp.where(member, lab, 0)], -1)
+    return slot_roots, slot_valid, pixel_slot.reshape(H, W), slot_avg_res
+
+
 @partial(jax.jit, static_argnames=("max_objects",))
 def compact_segments(
     labels: jnp.ndarray, stats: SegmentStats, max_objects: int

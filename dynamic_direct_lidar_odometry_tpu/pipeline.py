@@ -53,7 +53,11 @@ class DDLOOutputs(NamedTuple):
     non_static_mask: jnp.ndarray  # (H*W,) UNDEFINED + DYNAMIC pixels
     ground_mask: jnp.ndarray  # (H*W,)
     keyframe_added: jnp.ndarray  # () bool
-    new_keyframe_points: jnp.ndarray  # (max_points, 3) world (if added)
+    # candidate keyframe cloud (world frame): in dynamic mode the RAW
+    # re-filter-masked static cloud (H*W, 3) — the scan-res voxel pass
+    # runs inside update_keyframes' add branch only (consumers of this
+    # output voxelize again at their own leaf size, map.cc:101-131)
+    new_keyframe_points: jnp.ndarray
     new_keyframe_mask: jnp.ndarray
 
 
@@ -167,6 +171,9 @@ def step(
         static_pts = jnp.where(static_mask[:, None], seg_world, SENTINEL)
 
         # ---- re-filter static cloud (odom.cc:901-918) ----
+        # cheap masks here; the voxel pass itself is deferred into
+        # update_keyframes' add branch (refilter=True below): its output
+        # is only consumed on keyframe-add scans
         pre = cfg.preprocessing
         m = static_mask
         if pre.downsampling.use:
@@ -177,17 +184,13 @@ def step(
             m = m & filters.crop_box_mask(
                 static_pts, pre.crop_box.size, odo.pose
             )
-        if pre.voxel_scan.use:
-            kf_pts, kf_mask = filters.voxel_downsample(
-                static_pts, m, pre.voxel_scan.res, cfg.capacity.max_points
-            )
-        else:
-            kf_pts, kf_mask = filters.compact(
-                static_pts, m, cfg.capacity.max_points
-            )
+        kf_pts, kf_mask = static_pts, m
 
     # ---- keyframe update on the (dynamic-free) world cloud ----
-    odo_state, added = odometry.update_keyframes(cfg, odo_state, kf_pts, kf_mask)
+    odo_state, added = odometry.update_keyframes(
+        cfg, odo_state, kf_pts, kf_mask,
+        refilter=bool(cfg.dynamic_detection),
+    )
 
     new_state = DDLOState(
         odom=odo_state, tracks=trk_state, prev_stamp=jnp.float32(timestamp)

@@ -86,9 +86,19 @@ def empty_state(max_tracks: int) -> TrackerState:
     )
 
 
-def _cost_matrices(dets: Objects, trk_state: jnp.ndarray, trk_np, d_valid, t_valid):
-    """Full cost + displacement matrices (tracking.cpp:96-114)."""
-    iou = bbox_ops.obb_iou_matrix(dets.state, trk_state)  # (D, T)
+def _cost_matrices(
+    dets: Objects, trk_state: jnp.ndarray, trk_np, d_valid, t_valid,
+    iou_pair_budget: int = 256,
+):
+    """Full cost + displacement matrices (tracking.cpp:96-114).
+
+    The IoU term only pays the polygon clip for pairs that can overlap
+    (validity + z-extent + circumradius gates, see
+    :func:`..ops.bbox.obb_iou_matrix_gated`); every other pair is exactly
+    IoU = 0, which is what the dense matrix computes for them too."""
+    iou = bbox_ops.obb_iou_matrix_gated(
+        dets.state, trk_state, d_valid, t_valid, budget=iou_pair_budget
+    )  # (D, T)
     np_d = dets.num_points[:, None]
     np_t = trk_np[None, :]
     ratio = jnp.minimum(np_d, np_t) / jnp.maximum(jnp.maximum(np_d, np_t), 1.0)
@@ -121,7 +131,8 @@ def update(
 
     # ---- associate (tracking.cpp:80-150) ----
     cost, disp = _cost_matrices(
-        dets, trk_state7, state.num_points, dets.valid, state.active
+        dets, trk_state7, state.num_points, dets.valid, state.active,
+        iou_pair_budget=cfg.iou_pair_budget,
     )
     col = hungarian.assign(cost, dets.valid, state.active)  # (D,) track per det
     # velocity gate

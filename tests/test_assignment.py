@@ -120,3 +120,77 @@ def test_obb_iou_rotated_vs_raster_oracle(seed):
     got = float(bbox_ops.obb_iou(jnp.asarray(b1), jnp.asarray(b2)))
     want = _raster_iou(b1, b2)
     np.testing.assert_allclose(got, want, atol=0.02)
+
+
+def _random_boxes(rng, n, spread=8.0):
+    return np.stack(
+        [
+            rng.uniform(-spread, spread, n),  # cx
+            rng.uniform(-spread, spread, n),  # cy
+            rng.uniform(-1, 1, n),  # cz
+            rng.uniform(-0.8, 0.8, n),  # sin(yaw/2) quirk angle
+            rng.uniform(0.3, 2.5, n),  # l
+            rng.uniform(0.3, 2.5, n),  # w
+            rng.uniform(0.3, 2.5, n),  # h
+        ],
+        axis=-1,
+    ).astype(np.float32)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_gated_iou_matches_dense(seed):
+    """Gated matrix == dense matrix on valid pairs, 0 elsewhere: the
+    z-extent + circumradius gates are NECESSARY conditions for overlap,
+    so with a non-binding budget nothing with IoU > 0 is dropped."""
+    rng = np.random.default_rng(seed)
+    D, T = 24, 20
+    dets = _random_boxes(rng, D)
+    trks = _random_boxes(rng, T)
+    dv = rng.uniform(size=D) > 0.3
+    tv = rng.uniform(size=T) > 0.3
+    dense = np.asarray(bbox_ops.obb_iou_matrix(jnp.asarray(dets), jnp.asarray(trks)))
+    gated = np.asarray(
+        bbox_ops.obb_iou_matrix_gated(
+            jnp.asarray(dets), jnp.asarray(trks),
+            jnp.asarray(dv), jnp.asarray(tv), budget=D * T,
+        )
+    )
+    valid = dv[:, None] & tv[None, :]
+    np.testing.assert_allclose(gated[valid], dense[valid], atol=1e-6)
+    assert np.all(gated[~valid] == 0.0)
+
+
+def test_gated_iou_budget_prefers_closest_pairs():
+    """Over budget, the farthest gate-surviving pairs degrade to IoU 0;
+    the closest pairs keep their exact value."""
+    rng = np.random.default_rng(7)
+    D = T = 12
+    # one tight cluster -> every pair passes the gate
+    dets = _random_boxes(rng, D, spread=0.5)
+    trks = _random_boxes(rng, T, spread=0.5)
+    dv = np.ones(D, bool)
+    tv = np.ones(T, bool)
+    dense = np.asarray(bbox_ops.obb_iou_matrix(jnp.asarray(dets), jnp.asarray(trks)))
+    B = 16
+    gated = np.asarray(
+        bbox_ops.obb_iou_matrix_gated(
+            jnp.asarray(dets), jnp.asarray(trks),
+            jnp.asarray(dv), jnp.asarray(tv), budget=B,
+        )
+    )
+    # reproduce the gate: budget selection ranks only gate SURVIVORS
+    dz = np.abs(dets[:, None, 2] - trks[None, :, 2])
+    z_ok = dz < 0.5 * (dets[:, None, 6] + trks[None, :, 6])
+    dxy = np.linalg.norm(dets[:, None, :2] - trks[None, :, :2], axis=-1)
+    rad = lambda b: 0.5 * np.linalg.norm(b[:, 4:6], axis=-1)
+    xy_ok = dxy <= rad(dets)[:, None] + rad(trks)[None, :]
+    gate = (z_ok & xy_ok).reshape(-1)
+    dxy_flat = np.where(gate, dxy.reshape(-1), np.inf)
+    kept = np.argsort(dxy_flat)[:B]
+    kept = kept[np.isfinite(dxy_flat[kept])]
+    assert gate.sum() > B  # the budget actually binds in this scene
+    flat_dense = dense.reshape(-1)
+    flat_gated = gated.reshape(-1)
+    np.testing.assert_allclose(flat_gated[kept], flat_dense[kept], atol=1e-6)
+    dropped = np.setdiff1d(np.arange(D * T), kept)
+    assert np.all(flat_gated[dropped] == 0.0)

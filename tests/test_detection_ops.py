@@ -1,4 +1,5 @@
 import numpy as np
+import pytest
 
 import jax.numpy as jnp
 
@@ -206,6 +207,66 @@ def test_segment_stats_gates():
     assert ps[8, 55] >= 0 and ps[8, 12] >= 0 and ps[0, 0] == -1
     # slot 0 = biggest (blob2: 16x20)
     assert ps[8, 55] == 0
+
+
+
+def _stats_kwargs():
+    return dict(
+        min_line_num=3, valid_point_num=10, valid_line_num=3,
+        max_distance=10.0, min_delta_z=0.2, max_delta_z=4.0,
+        max_elevation=3.0,
+    )
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_segment_objects_matches_exact_path(seed):
+    """The fused candidate-dense path (segment_objects) must reproduce
+    segment_stats + compact_segments bit-for-bit whenever the candidate
+    budget is not binding (its documented equivalence condition)."""
+    rng = np.random.default_rng(seed)
+    H, W = 24, 96
+    # random blobby range image: smooth background + several near patches
+    ranges = np.full((H, W), 20.0, np.float32)
+    for _ in range(8):
+        r0 = rng.integers(0, H - 6)
+        c0 = rng.integers(0, W - 10)
+        h = rng.integers(3, 7)
+        w = rng.integers(4, 11)
+        ranges[r0 : r0 + h, c0 : c0 + w] = rng.uniform(3.0, 8.0)
+    eligible = np.ones((H, W), bool)
+    eligible[rng.uniform(size=(H, W)) < 0.05] = False
+    theta, ax, ay = 0.25, 360.0 / W, 2 * 45.0 / (H - 1)
+    res = segmentation.label_components(
+        jnp.asarray(ranges), jnp.asarray(eligible), theta, ax, ay
+    )
+    zz = np.linspace(2.0, 0.0, H)[:, None].repeat(W, 1).astype(np.float32)
+    pts = np.stack([ranges, np.zeros_like(ranges), zz], axis=-1)
+    res_img = (rng.uniform(size=(H, W)) < 0.3) * rng.uniform(
+        0.0, 0.5, (H, W)
+    ).astype(np.float32)
+    kw = _stats_kwargs()
+
+    stats = segmentation.segment_stats(
+        res.labels, jnp.asarray(ranges), jnp.asarray(pts),
+        jnp.asarray(res_img), jnp.float32(0.0), **kw,
+    )
+    roots_e, valid_e, ps_e = segmentation.compact_segments(
+        res.labels, stats, max_objects=6
+    )
+    avg_e = np.asarray(stats.avg_residuum)[
+        np.clip(np.asarray(roots_e), 0, H * W - 1)
+    ] * np.asarray(valid_e)
+
+    roots_f, valid_f, ps_f, avg_f = segmentation.segment_objects(
+        res.labels, jnp.asarray(ranges), jnp.asarray(pts),
+        jnp.asarray(res_img), jnp.float32(0.0), **kw,
+        max_objects=6, candidates=64,
+    )
+
+    np.testing.assert_array_equal(np.asarray(valid_f), np.asarray(valid_e))
+    np.testing.assert_array_equal(np.asarray(roots_f), np.asarray(roots_e))
+    np.testing.assert_array_equal(np.asarray(ps_f), np.asarray(ps_e))
+    np.testing.assert_allclose(np.asarray(avg_f), avg_e, atol=1e-6)
 
 
 # ---------------------------------------------------------------------------

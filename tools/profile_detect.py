@@ -31,7 +31,9 @@ def main():
     from dynamic_direct_lidar_odometry_tpu.ops import bbox as bbox_ops
     from dynamic_direct_lidar_odometry_tpu.ops import projection, segmentation
 
-    cfg = cfg_lib.doals_config()
+    # bench operating point: 64 object slots (the VERDICT-r3 numbers were
+    # taken at doals_config's 32 slots, which understated segment costs)
+    cfg = cfg_lib.bench_config()
     det = cfg.detection
     H, W = det.rows, det.columns
 
@@ -70,18 +72,29 @@ def main():
 
     res_img = jnp.zeros((H, W))
     stats = timeit(
-        "segment_stats", segmentation.segment_stats,
+        "segment_stats (exact, off hot path)", segmentation.segment_stats,
         seg.labels, ri.ranges, ri.points, res_img, T[2, 3],
         det.min_line_num, det.valid_point_num, det.valid_line_num,
         det.max_distance, det.min_delta_z, det.max_delta_z,
         det.max_elevation, n=5,
     )
 
-    roots, slot_valid, pixel_slot = timeit(
-        "compact_segments", segmentation.compact_segments,
+    timeit(
+        "compact_segments (exact, off hot path)",
+        segmentation.compact_segments,
         seg.labels, stats, cfg.capacity.max_objects,
     )
-    avg = jnp.zeros((cfg.capacity.max_objects,))
+
+    # the pipeline's actual path: fused gates + compaction over
+    # candidate roots (one scatter total)
+    roots, slot_valid, pixel_slot, avg = timeit(
+        "segment_objects (fused)", segmentation.segment_objects,
+        seg.labels, ri.ranges, ri.points, res_img, T[2, 3],
+        det.min_line_num, det.valid_point_num, det.valid_line_num,
+        det.max_distance, det.min_delta_z, det.max_delta_z,
+        det.max_elevation, cfg.capacity.max_objects,
+        cfg.capacity.segment_candidates, n=5,
+    )
     timeit(
         "pca_bboxes", bbox_ops.pca_bboxes,
         ri.points, pixel_slot, slot_valid, avg,

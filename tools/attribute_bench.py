@@ -1,0 +1,394 @@
+"""End-to-end per-scan stage attribution of the headline bench number.
+
+The reference attributes every millisecond of its scan budget
+(odom.cc:1410-1427 renders per-stage AccumulatorData rows). This tool is
+the equivalent for the TPU pipeline: it replays THE bench trajectory
+(same config, same steady-state sequence, same chunk-stale hull cadence
+as bench.py) and, at every timed scan, times each pipeline stage as a
+pure probe on the exact in-pipeline inputs of that scan — so iteration
+counts, keyframe-add covariance recomputes, and the 64-slot detection
+shapes are the real ones, not an isolated-profile idealization.
+
+Three measurements per run:
+  * measured_chunked_ms: bench-style K=8 step_chunk replay — the number
+    the attribution must explain (bench.py's ms/scan).
+  * measured_step_ms:    one whole pipeline.step per scan, timed — the
+    same work in 1 dispatch instead of 9, quantifying what stage
+    fragmentation + probe noise cost.
+  * per-stage probe ms:  9 stages, timed per scan on the true state.
+
+The trajectory is advanced by the authoritative ``pipeline.step`` (the
+probes are pure), so the attribution rides exactly the state sequence
+the bench rides. Writes ATTRIBUTION_r04.json and prints the table.
+
+Run on the real chip:  python -u tools/attribute_bench.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/ddlo_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+from functools import partial
+
+import jax.numpy as jnp
+import numpy as np
+
+from dynamic_direct_lidar_odometry_tpu import config as cfg_lib
+from dynamic_direct_lidar_odometry_tpu import pipeline
+from dynamic_direct_lidar_odometry_tpu.core import se3
+from dynamic_direct_lidar_odometry_tpu.core.cloud import SENTINEL
+from dynamic_direct_lidar_odometry_tpu.detection import detection
+from dynamic_direct_lidar_odometry_tpu.io import dataset
+from dynamic_direct_lidar_odometry_tpu.odometry import keyframes as kfmod
+from dynamic_direct_lidar_odometry_tpu.odometry import odometry
+from dynamic_direct_lidar_odometry_tpu.odometry import preprocess as prep
+from dynamic_direct_lidar_odometry_tpu.ops import covariance, filters, gicp
+from dynamic_direct_lidar_odometry_tpu.tracking import tracker
+from dynamic_direct_lidar_odometry_tpu.tracking.tracker import (
+    DYNAMIC,
+    UNDEFINED,
+)
+from dynamic_direct_lidar_odometry_tpu.utils import devtime
+
+K = 8  # scans per dispatch chunk, as in bench.py
+
+# ---------------------------------------------------------------------------
+# Stage probes: each is the corresponding slice of pipeline.step /
+# odometry.step (pipeline.py:100-193, odometry.py:207-328), jitted
+# standalone so it can be timed in isolation ON the in-pipeline inputs.
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def stage_preprocess(cfg, raw_points, raw_mask, spaciousness):
+    p = prep.preprocess(cfg, raw_points, raw_mask)
+    spacious = 0.95 * spaciousness + 0.05 * p.spaciousness_median
+    kf_thresh_d = prep.adaptive_keyframe_thresh(spacious)
+    return p, spacious, kf_thresh_d
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def stage_covariances(cfg, points, mask):
+    return covariance.plane_covariances(
+        points, mask, k=cfg.gicp.s2s.k_correspondences
+    )
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def stage_s2s(cfg, points, mask, covs, prev_points, prev_mask, prev_covs,
+              guess, T_s2s_prev):
+    s2s = gicp.align(
+        points, mask, covs, prev_points, prev_mask, prev_covs, guess,
+        odometry._settings(cfg.gicp.s2s, compute_residuals=False),
+    )
+    T_s2s = se3.compose(T_s2s_prev, s2s.T)
+    return s2s, T_s2s
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def stage_submap(cfg, store, t, kf_thresh, cv_mask, cc_mask):
+    sel = kfmod.select_submap(
+        store, t, kf_thresh, cfg.submap.knn, cfg.submap.kcv,
+        cfg.submap.kcc, cv_mask=cv_mask, cc_mask=cc_mask,
+    )
+    max_slots = min(
+        cfg.submap.knn + cfg.submap.kcv + cfg.submap.kcc,
+        cfg.capacity.max_keyframes,
+    )
+    return kfmod.gather_submap(
+        store, sel, max_slots, capacity=cfg.capacity.max_submap_points
+    )
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def stage_s2m(cfg, points, mask, covs, sub_pts, sub_mask, sub_covs, T_s2s):
+    s2m = gicp.align(
+        points, mask, covs, sub_pts, sub_mask, sub_covs, T_s2s,
+        odometry._settings(cfg.gicp.s2m),
+    )
+    return s2m
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def stage_detect(cfg, T_new, raw_points, raw_mask, cur_points, cur_mask,
+                 residuals):
+    seg_world = se3.transform_points(T_new, raw_points)
+    seg_world = jnp.where(raw_mask[:, None], seg_world, SENTINEL)
+    det = detection.detect(
+        cfg, seg_world, raw_mask, cur_points, cur_mask, residuals, T_new,
+        seg_points_sensor=raw_points,
+    )
+    return det, seg_world
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def stage_track(cfg, tracks, objects, dt):
+    return tracker.update(cfg.tracking, tracks, objects, dt)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def stage_static_mask(cfg, trk_state, pixel_slot, point_index, ground_img,
+                      seg_world, raw_mask, pose):
+    # pipeline.py:146-187 verbatim: non-static removal + re-filter masks
+    H, W = cfg.detection.rows, cfg.detection.columns
+    non_static_slots = tracker.status_detection_mask(
+        trk_state, (UNDEFINED, DYNAMIC), cfg.capacity.max_objects
+    )
+    ps_img = pixel_slot.reshape(-1)
+    pidx = point_index.reshape(-1)
+    n_pts = raw_mask.shape[0]
+    ps = jnp.full((n_pts,), -1, jnp.int32)
+    ps = ps.at[jnp.where(pidx >= 0, pidx, n_pts)].set(ps_img, mode="drop")
+    in_obj = ps >= 0
+    psc = jnp.clip(ps, 0, cfg.capacity.max_objects - 1)
+    non_static = in_obj & non_static_slots[psc]
+    static_mask = raw_mask & ~non_static
+    static_pts = jnp.where(static_mask[:, None], seg_world, SENTINEL)
+    pre = cfg.preprocessing
+    m = static_mask
+    if pre.downsampling.use:
+        m = m & filters.rowcol_downsample_mask(
+            H, W, pre.downsampling.row, pre.downsampling.col
+        )
+    if pre.crop_box.use:
+        m = m & filters.crop_box_mask(static_pts, pre.crop_box.size, pose)
+    return static_pts, m
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def stage_update_keyframes(cfg, odo_state, kf_pts, kf_mask):
+    return odometry.update_keyframes(
+        cfg, odo_state, kf_pts, kf_mask, refilter=True
+    )
+
+
+STAGES = [
+    "preprocess", "covariances", "s2s_align", "submap_gather", "s2m_align",
+    "detect", "track", "static_mask", "update_keyframes",
+]
+
+
+def main():
+    cfg = cfg_lib.bench_config()
+    n_scans = int(os.environ.get("DDLO_ATTR_NSCANS", "64"))
+    seq = dataset.steady_state_sequence(n_scans=n_scans)
+    scans = [
+        (jnp.asarray(seq.points[i]), jnp.asarray(seq.mask[i]),
+         jnp.float32(seq.stamps[i]))
+        for i in range(len(seq))
+    ]
+    print(f"backend: {jax.default_backend()}  scans: {len(scans)}",
+          flush=True)
+
+    def host_hulls(st):
+        cv, cc = kfmod.exact_hull_masks_packed(
+            kfmod.packed_hull_inputs(
+                st.odom.store, st.odom.keyframe_thresh_dist
+            )
+        )
+        return (jnp.asarray(cv), jnp.asarray(cc))
+
+    # ---- measurement 1: bench-style chunked replay (the target) ----
+    def chunk_args(lo):
+        return (
+            jnp.asarray(seq.points[lo:lo + K]),
+            jnp.asarray(seq.mask[lo:lo + K]),
+            jnp.asarray(seq.stamps[lo:lo + K], dtype=jnp.float32),
+        )
+
+    n_chunks = (len(seq) - 1 - K) // K
+    n_timed = n_chunks * K
+    state = pipeline.init_state(cfg, scans[0][0], scans[0][1], 0.0)
+    hulls = host_hulls(state)
+    state, _ = pipeline.step_chunk(cfg, state, *chunk_args(1), hulls)
+    hulls = host_hulls(state)
+    devtime.sync(state)
+    fetch_ov = devtime.fetch_overhead(state)
+    t0 = time.perf_counter()
+    for c in range(n_chunks):
+        entering = state
+        state, _ = pipeline.step_chunk(
+            cfg, state, *chunk_args(1 + K + c * K), hulls
+        )
+        hulls = host_hulls(entering)
+    devtime.sync(state)
+    measured_chunked_ms = (
+        max(time.perf_counter() - t0 - fetch_ov, 1e-9) / n_timed * 1e3
+    )
+    print(f"measured chunked (K={K}): {measured_chunked_ms:.2f} ms/scan "
+          f"({1e3 / measured_chunked_ms:.2f} Hz)", flush=True)
+
+    # ---- measurement 2+3: per-scan replay, whole-step + stage probes ----
+    state = pipeline.init_state(cfg, scans[0][0], scans[0][1], 0.0)
+    hulls = host_hulls(state)
+    entering = state
+
+    ov = None
+    rows = []  # one dict per timed scan
+
+    timed_lo = 1 + K  # bench times scans [1+K, 1+K+n_timed)
+    for i in range(1, timed_lo + n_timed):
+        pts, mask, ts = scans[i]
+        timed = i >= timed_lo
+        # bench hull cadence: chunk c consumes hulls fetched from the
+        # state that ENTERED chunk c-1 (one chunk stale)
+        if (i - 1) % K == 0 and i > 1:
+            hulls = host_hulls(entering)
+            entering = state
+
+        rec = {}
+
+        def probe(name, fn, *args, **kw):
+            nonlocal ov
+            out = fn(*args, **kw)
+            if not timed:
+                devtime.sync(out)  # compile/warm during warmup scans
+                return out
+            t0 = time.perf_counter()
+            out = fn(*args, **kw)
+            devtime.sync(out)
+            rec[name] = (time.perf_counter() - t0 - ov) * 1e3
+            return out
+
+        if timed and ov is None:
+            ov = devtime.fetch_overhead(state)
+            print(f"fetch overhead: {ov * 1e3:.1f} ms", flush=True)
+
+        # whole step, timed as one dispatch (discarded; probes advance
+        # nothing — the authoritative advance is at the bottom)
+        if timed:
+            t0 = time.perf_counter()
+            _st, _out = pipeline.step(cfg, state, pts, mask, ts, hulls)
+            devtime.sync(_st)
+            rec["whole_step"] = (time.perf_counter() - t0 - ov) * 1e3
+
+        # --- stage probes on the true in-pipeline inputs ---
+        st = state.odom
+        p, spacious, kft = probe(
+            "preprocess", stage_preprocess, cfg, pts, mask, st.spaciousness
+        )
+        covs = probe("covariances", stage_covariances, cfg, p.points, p.mask)
+        guess = st.prev_rel if cfg.initial_guess_motion else jnp.eye(4)
+        s2s, T_s2s = probe(
+            "s2s_align", stage_s2s, cfg, p.points, p.mask, covs,
+            st.prev_points, st.prev_mask, st.prev_covs, guess, st.T_s2s_prev,
+        )
+        sub_pts, sub_mask, sub_covs = probe(
+            "submap_gather", stage_submap, cfg, st.store, T_s2s[:3, 3],
+            st.keyframe_thresh_dist, hulls[0], hulls[1],
+        )
+        s2m = probe(
+            "s2m_align", stage_s2m, cfg, p.points, p.mask, covs,
+            sub_pts, sub_mask, sub_covs, T_s2s,
+        )
+        det, seg_world = probe(
+            "detect", stage_detect, cfg, s2m.T, pts, mask, p.points, p.mask,
+            s2m.residuals,
+        )
+        dt = jnp.maximum(ts - state.prev_stamp, 1e-3)
+        trk_state, _trk_out = probe(
+            "track", stage_track, cfg, state.tracks, det.objects, dt
+        )
+        kf_pts, kf_mask = probe(
+            "static_mask", stage_static_mask, cfg, trk_state,
+            det.pixel_slot, det.point_index, (det.ground == 1),
+            seg_world, mask, s2m.T[:3, 3],
+        )
+        # probe update_keyframes on the post-odometry state the pipeline
+        # passes it (pose/rotq/store of THIS scan)
+        odo_probe = st._replace(
+            T=s2m.T, pose=s2m.T[:3, 3],
+            rotq=se3.matrix_to_quat(s2m.T[:3, :3]),
+            spaciousness=spacious, keyframe_thresh_dist=kft,
+        )
+        _st2, added = probe(
+            "update_keyframes", stage_update_keyframes, cfg, odo_probe,
+            kf_pts, kf_mask,
+        )
+
+        # ---- authoritative advance ----
+        state, out = pipeline.step(cfg, state, pts, mask, ts, hulls)
+
+        if timed:
+            rec["s2s_iters"] = int(out.odom.s2s_iterations)
+            rec["s2m_iters"] = int(out.odom.s2m_iterations)
+            rec["kf_added"] = bool(out.keyframe_added)
+            rec["num_keyframes"] = int(out.odom.num_keyframes)
+            rec["submap_size"] = int(out.odom.submap_size)
+            rec["stage_sum"] = sum(rec[s] for s in STAGES)
+            rows.append(rec)
+            if len(rows) % 8 == 0:
+                print(f"scan {len(rows)}/{n_timed}: whole "
+                      f"{rec['whole_step']:.1f} ms, sum "
+                      f"{rec['stage_sum']:.1f} ms, s2s {rec['s2s_iters']} "
+                      f"s2m {rec['s2m_iters']} kf {rec['kf_added']}",
+                      flush=True)
+
+    # ---- table ----
+    def col(name):
+        return np.array([r[name] for r in rows], dtype=np.float64)
+
+    add = np.array([r["kf_added"] for r in rows])
+    table = {}
+    print(f"\n{'stage':<20}{'mean':>8}{'median':>8}{'add-scan':>10}"
+          f"{'no-add':>8}")
+    for s in STAGES + ["stage_sum", "whole_step"]:
+        v = col(s)
+        table[s] = {
+            "mean_ms": round(float(v.mean()), 2),
+            "median_ms": round(float(np.median(v)), 2),
+            "add_mean_ms": round(float(v[add].mean()), 2) if add.any()
+            else None,
+            "noadd_mean_ms": round(float(v[~add].mean()), 2)
+            if (~add).any() else None,
+        }
+        t = table[s]
+        print(f"{s:<20}{t['mean_ms']:>8}{t['median_ms']:>8}"
+              f"{t['add_mean_ms'] or 0:>10}{t['noadd_mean_ms'] or 0:>8}")
+
+    sum_mean = table["stage_sum"]["mean_ms"]
+    whole_mean = table["whole_step"]["mean_ms"]
+    result = {
+        "unit": "ms/scan, steady-state bench trajectory (64x2048, "
+                f"{int(col('num_keyframes')[-1])} keyframes at end, "
+                f"{len(rows)} timed scans)",
+        "measured_chunked_ms": round(measured_chunked_ms, 2),
+        "measured_chunked_hz": round(1e3 / measured_chunked_ms, 2),
+        "whole_step_mean_ms": whole_mean,
+        "stage_sum_mean_ms": sum_mean,
+        "dispatch_amortization_ms": round(whole_mean - measured_chunked_ms, 2),
+        "fragmentation_and_noise_ms": round(sum_mean - whole_mean, 2),
+        "coverage_sum_vs_chunked_pct": round(
+            100.0 * sum_mean / measured_chunked_ms, 1
+        ),
+        "stages": table,
+        "kf_add_scans": int(add.sum()),
+        "s2s_iters_mean": round(float(col("s2s_iters").mean()), 2),
+        "s2m_iters_mean": round(float(col("s2m_iters").mean()), 2),
+        "per_scan": [
+            {k: (round(v, 2) if isinstance(v, float) else v)
+             for k, v in r.items()} for r in rows
+        ],
+    }
+    out_path = os.path.join(REPO, "ATTRIBUTION_r04.json")
+    with open(out_path, "w") as f:
+        json.dump(result, f, indent=1)
+    print(f"\nchunked {measured_chunked_ms:.1f} ms/scan | whole-step "
+          f"{whole_mean:.1f} | stage-sum {sum_mean:.1f} "
+          f"({result['coverage_sum_vs_chunked_pct']}% of chunked)")
+    print(f"wrote {out_path}")
+
+
+if __name__ == "__main__":
+    main()

@@ -90,7 +90,10 @@ def main():
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--tpu", action="store_true",
                     help="also run the single-chip TPU anchor")
-    ap.add_argument("--out", default=os.path.join(REPO, "SCALING_r03.json"))
+    ap.add_argument("--pt", action="store_true",
+                    help="also run the point-parallel latency curve "
+                         "(tools/bench_pt_latency.py) and embed it")
+    ap.add_argument("--out", default=os.path.join(REPO, "SCALING_r04.json"))
     args = ap.parse_args()
 
     cases = [(1, 4), (2, 2), (4, 1)]
@@ -117,6 +120,30 @@ def main():
         print("[scaling] TPU single-chip anchor ...", flush=True)
         report["tpu_1chip"] = run_tpu_anchor(args.batch, args.n, args.iters)
         print(f"[scaling] -> {report['tpu_1chip']}", flush=True)
+
+    if args.pt:
+        # point-parallel per-step latency curve (VERDICT r03 #6): the pt
+        # axis gets a measured latency table next to the dp numbers
+        print("[scaling] pt-latency curve ...", flush=True)
+        env = dict(os.environ)
+        env["PYTHONPATH"] = ""
+        env["JAX_PLATFORMS"] = "cpu"
+        env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+        r = subprocess.run(
+            [sys.executable, os.path.join(REPO, "tools", "bench_pt_latency.py")],
+            cwd=REPO, env=env, timeout=1800,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        )
+        if r.returncode != 0:
+            raise RuntimeError("pt latency failed:\n"
+                               + (r.stderr or r.stdout)[-1200:])
+        for line in reversed(r.stdout.strip().splitlines()):
+            try:
+                report["pt_latency"] = json.loads(line)
+                break
+            except json.JSONDecodeError:
+                continue
+        print(f"[scaling] -> {report.get('pt_latency')}", flush=True)
 
     report["pass_80pct_at_2proc"] = bool(
         report["efficiency_vs_1proc"]["2x2"] >= 0.8

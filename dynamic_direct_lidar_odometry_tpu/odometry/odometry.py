@@ -83,11 +83,9 @@ def _nn_impl_from_env() -> str:
     """Correspondence-backend selection (DDLO_NN_IMPL, trace-time).
     Default "sparse": block-sparse Pallas sweeps over per-tile active-
     chunk lists inside the LM loop (exact within the correspondence
-    gate), exact final residual pass (gicp.align). "fused" runs the
-    whole linearization in one Pallas kernel (parity-tested; measured
-    slower on v5e — column-layout epilogue underuses the VPU lanes).
-    On CPU every impl falls back to the exact XLA sweep, so tests and
-    goldens are unaffected."""
+    gate), exact final residual pass (gicp.align). On CPU every impl
+    falls back to the exact XLA sweep, so tests and goldens are
+    unaffected."""
     import os
 
     impl = os.environ.get("DDLO_NN_IMPL")

@@ -62,11 +62,15 @@ class GICPSettings(NamedTuple):
     # correspondence-search backend: "auto" (Pallas exact on TPU, XLA
     # sweep elsewhere), "exact" (XLA sweep), "pallas" (exact Pallas),
     # "sparse" (AABB-pruned Pallas sweep, exact within
-    # max_correspondence_distance), "fused" (sparse sweep + the whole
-    # linearization in one Pallas kernel; exactness of "sparse" with the
-    # H/b reduction done per tile in-kernel). Compile-time static; the
-    # odometry layer maps the DDLO_NN_IMPL env var onto this once. On
-    # CPU every impl falls back to the exact XLA sweep.
+    # max_correspondence_distance). Compile-time static; the odometry
+    # layer maps the DDLO_NN_IMPL env var onto this once. On CPU every
+    # impl falls back to the exact XLA sweep. (A fully-fused
+    # linearization kernel — sweep + winner fold + in-kernel H/b — was
+    # built and measured twice, rounds 2-3: its winner-feature second
+    # pass costs ~12 masked row-sums per chunk slice vs the sweep's 8
+    # flops, and at the bench operating point it measured 38 vs 2.6 ms
+    # per 2-iteration align against sparse + one packed (N,12) winner
+    # gather. Deleted; don't rebuild without beating that number.)
     nn_impl: str = "auto"
 
 
@@ -188,29 +192,6 @@ def _linearize(
     src_t_q = jnp.where(src_mask[:, None], src_t, SENTINEL)
 
     on_tpu = jax.default_backend() == "tpu"
-    if nn_impl == "fused" and on_tpu:
-        # ONE Pallas kernel for the whole linearization: block-sparse
-        # sweep + winner-feature fold + per-point Mahalanobis/Jacobian +
-        # in-kernel H/b partials. Collapses the ~25-op XLA chain whose
-        # per-op launch overheads dominated the LM iteration cost.
-        from dynamic_direct_lidar_odometry_tpu.ops import nn_pallas
-
-        if sparse_prep is None:
-            sparse_prep = nn_pallas.prepare_sparse_feat(tgt_pts, tgt_covs)
-        RCAR = jnp.einsum("ij,njk,lk->nil", R, src_covs, R, precision=hp)
-        y0, Hm, bv, sqd, M, B = nn_pallas.linearize_sparse_pallas(
-            src_t_q,
-            RCAR.reshape(-1, 9),
-            sparse_prep,
-            radius=max_corr_dist,
-            prune_radius=max_corr_dist * prune_dilation,
-        )
-        valid = src_mask & (sqd < max_corr_dist * max_corr_dist)
-        # per-point target indices aren't materialized by the fused
-        # kernel; the final residual pass (align) re-runs the sparse
-        # sweep, which does export them
-        idx = jnp.zeros((src_pts.shape[0],), jnp.int32)
-        return y0, Hm, bv, (idx, valid, M, B, sqd)
     if nn_impl == "sparse" and on_tpu:
         # block-sparse sweep: target chunks outside the
         # correspondence radius of a query tile are skipped — exact
@@ -345,11 +326,7 @@ def align(
     if jax.default_backend() == "tpu":
         from dynamic_direct_lidar_odometry_tpu.ops import nn_pallas
 
-        if s.nn_impl == "fused":
-            # packed-feature prep: rows 0..2 coords (also serves the
-            # final residual pass's plain sparse sweep), rows 3..11 covs
-            sparse_prep = nn_pallas.prepare_sparse_feat(tgt_q, tgt_covs)
-        elif s.nn_impl == "sparse":
+        if s.nn_impl == "sparse":
             sparse_prep = nn_pallas.prepare_sparse_target(tgt_q)
     # packed winner features for the per-iteration gather (see _linearize)
     tgt_feat = jnp.concatenate(
@@ -507,9 +484,7 @@ def align(
         # at that boundary: a clamped outlier adds <= 3*max_corr/|seg| to
         # a segment's avg residuum, the same order as its true distance.
         dil = 3.0
-        if s.nn_impl in ("sparse", "fused"):
-            # the fused path switches to the plain sparse sweep here: it
-            # exports true per-point correspondences + NN distances
+        if s.nn_impl == "sparse":
             y_fin, H_fin, _, aux = _allsum_lin(
                 st.x0, "sparse", prune_dilation=dil
             )

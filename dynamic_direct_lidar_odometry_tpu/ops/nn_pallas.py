@@ -247,7 +247,7 @@ def nn1_sparse_prepared(
     traced inline (no jit wrapper) so callers inside scans/while loops
     keep the prep arrays as loop constants."""
     Q = query.shape[0]
-    R, Tp = prep.tt.shape  # R = 3, or 12 for a packed-feature prep
+    R, Tp = prep.tt.shape  # R = 3
     n_chunks = prep.t_lo.shape[0]
     t_chunk = Tp // n_chunks
 
@@ -334,278 +334,6 @@ def nn1_sparse_pallas(
     return nn1_sparse_prepared(
         query, prepare_sparse_target(target, t_chunk), radius, q_tile
     )
-
-
-def prepare_sparse_feat(
-    tgt_q: jnp.ndarray, tgt_covs: jnp.ndarray, t_chunk: int = 512
-) -> SparseTarget:
-    """Like :func:`prepare_sparse_target` but rows 3..11 carry the
-    row-major 3x3 target covariance — the packed-feature target the
-    fused linearize kernel folds through its sweep. Rows 0..2 stay the
-    coordinates, so this prep is also valid wherever a plain
-    :class:`SparseTarget` is accepted (the final residual pass reuses
-    it)."""
-    feat = jnp.concatenate(
-        [tgt_q, tgt_covs.reshape(tgt_q.shape[0], 9)], axis=1
-    )  # (M, 12)
-    f = _pad_rows(feat, t_chunk, 1.0e6)
-    tb = f[:, :3].reshape(-1, t_chunk, 3)
-    return SparseTarget(
-        tt=f.T, t_lo=tb.min(axis=1), t_hi=tb.max(axis=1), n=tgt_q.shape[0]
-    )
-
-
-def _linearize_sparse_kernel(
-    cnt_ref, lst_ref, q_ref, rc_ref, tf_ref,
-    scal_ref, mb_ref,
-    *, t_chunk: int, radius2: float,
-):
-    """The WHOLE GICP linearization for one query tile in one kernel:
-    block-sparse 1-NN sweep folding the winner's packed features
-    (coords + covariance), then per-point Mahalanobis weights, masked
-    Jacobians, and the 6x6/6x1 normal-equation partials reduced
-    IN-KERNEL. Replaces ~25 XLA ops per LM iteration (sweep call,
-    winner gathers, einsum chain, big matmul) whose per-op launch
-    overheads dominated the iteration cost at DDLO sizes.
-
-    q_ref: (QT, 3) transformed source tile (invalid rows at SENTINEL)
-    rc_ref: (QT, 9) per-point R C_A R^T, row-major
-    tf_ref: (12, T) packed target features, transposed
-    scal_ref: (8, 128) tile partials, row 0 = [y0, 21 upper-H, 6 b]
-    mb_ref: (QT, 128) per-point [M row-major 0..8 | B 9..11 | sqd 12 |
-      zeros] — a full-lane layout: narrow (QT, 9)/(QT, 3)/(QT, 1)
-      outputs get padded to 128 lanes ANYWAY by the (8,128) tiling, and
-      as separate buffers that padding (2 x 8.4 MB at 16k points) landed
-      on the kernel's VMEM stack and OOMed it. NOTE every (QT, 1)
-      epilogue column also pads to 128 lanes in VMEM, which is why the
-      default q_tile here is 256 (dozens of live columns).
-    """
-    i = pl.program_id(0)
-    QT = q_ref.shape[0]
-    qxyz, lane, init = _query_lanes(q_ref)
-
-    def body(j, carry):
-        base = lst_ref[i, j] * t_chunk
-        return _chunk_min_sweep(qxyz, lane, tf_ref, base, t_chunk, *carry)
-
-    best_d, best_i = jax.lax.fori_loop(0, cnt_ref[i], body, init)
-
-    win = jnp.min(best_d, axis=1, keepdims=True)  # (QT, 1)
-    idx_cand = jnp.where(best_d == win, best_i, jnp.int32(2**30))
-    win_idx = jnp.min(idx_cand, axis=1, keepdims=True)  # (QT, 1)
-
-    # SECOND pass over the active chunks extracts the winner's features
-    # by global-index match + lane reduction — no (12, QT, 128) feature
-    # carry in the sweep (double-buffered, that carry alone VMEM-OOMed
-    # the one-pass variant at q_tile=1024). Rows with no winner match
-    # nothing and keep 0 features; vf gates them below.
-    def fbody(j, acc):
-        base = lst_ref[i, j] * t_chunk
-        for f in range(t_chunk // 128):
-            b0 = base + f * 128
-            m_ = (win_idx == lane + b0).astype(jnp.float32)  # (QT, 128)
-            acc = tuple(
-                a
-                + jnp.sum(
-                    tf_ref[r, pl.ds(b0, 128)].reshape(1, 128) * m_,
-                    axis=1,
-                    keepdims=True,
-                )
-                for r, a in enumerate(acc)
-            )
-        return acc
-
-    F = jax.lax.fori_loop(
-        0,
-        cnt_ref[i],
-        fbody,
-        tuple(jnp.zeros((QT, 1), jnp.float32) for _ in range(12)),
-    )
-    B = F[:3]
-    covB = F[3:]
-
-    px, py, pz = qxyz
-    # validity: winner inside the correspondence radius AND a real (non-
-    # sentinel) source row — invalid targets sit at the sentinel and can
-    # never pass the radius gate, so no target-mask read is needed
-    vf = ((win < radius2) & (px < 1.0e5)).astype(jnp.float32)
-
-    # M = (C_B + R C_A R^T)^-1, closed-form adjugate on (QT, 1) columns
-    s00 = covB[0] + rc_ref[:, 0:1]
-    s01 = covB[1] + rc_ref[:, 1:2]
-    s02 = covB[2] + rc_ref[:, 2:3]
-    s10 = covB[3] + rc_ref[:, 3:4]
-    s11 = covB[4] + rc_ref[:, 4:5]
-    s12 = covB[5] + rc_ref[:, 5:6]
-    s20 = covB[6] + rc_ref[:, 6:7]
-    s21 = covB[7] + rc_ref[:, 7:8]
-    s22 = covB[8] + rc_ref[:, 8:9]
-    cA = s11 * s22 - s12 * s21
-    cB = -(s10 * s22 - s12 * s20)
-    cC = s10 * s21 - s11 * s20
-    cD = -(s01 * s22 - s02 * s21)
-    cE = s00 * s22 - s02 * s20
-    cF = -(s00 * s21 - s01 * s20)
-    cG = s01 * s12 - s02 * s11
-    cH = -(s00 * s12 - s02 * s10)
-    cI = s00 * s11 - s01 * s10
-    det = s00 * cA + s01 * cB + s02 * cC
-    inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-20, 1e-20, det)
-    M = (
-        cA * inv_det, cD * inv_det, cG * inv_det,
-        cB * inv_det, cE * inv_det, cH * inv_det,
-        cC * inv_det, cF * inv_det, cI * inv_det,
-    )
-
-    def matv(v):
-        return (
-            M[0] * v[0] + M[1] * v[1] + M[2] * v[2],
-            M[3] * v[0] + M[4] * v[1] + M[5] * v[2],
-            M[6] * v[0] + M[7] * v[1] + M[8] * v[2],
-        )
-
-    def dot3(a, b):
-        return a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
-
-    e = (
-        (B[0] - px) * vf,
-        (B[1] - py) * vf,
-        (B[2] - pz) * vf,
-    )
-    Me = matv(e)
-    y0 = jnp.sum(dot3(e, Me))
-
-    # J columns (J = [skew(p) | -I]); vf masks each per-point term once
-    # (vf is 0/1, so the XLA path's vf^2 via masked J is identical)
-    zero = jnp.zeros_like(px)
-    one = jnp.ones_like(px)
-    Jc = (
-        (zero, pz, -py),
-        (-pz, zero, px),
-        (py, -px, zero),
-        (-one, zero, zero),
-        (zero, -one, zero),
-        (zero, zero, -one),
-    )
-    MJ = [matv(c) for c in Jc]
-    vals = [y0]
-    for k in range(6):
-        for l in range(k, 6):
-            vals.append(jnp.sum(vf * dot3(Jc[k], MJ[l])))
-    for k in range(6):
-        vals.append(jnp.sum(vf * dot3(Jc[k], Me)))
-
-    # (8, 128) output block (Mosaic requires sublane multiples of 8);
-    # the 28 scalars live in row 0, rows 1-7 stay zero
-    lane_row = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
-    sub_row = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
-    out = jnp.zeros((8, 128), jnp.float32)
-    for t_, v in enumerate(vals):
-        out = out + jnp.where((lane_row == t_) & (sub_row == 0), v, 0.0)
-    scal_ref[:, :] = out
-
-    feat_lane = jax.lax.broadcasted_iota(jnp.int32, (QT, 128), 1)
-    mb = jnp.zeros((QT, 128), jnp.float32)
-    for r_, col in enumerate(list(M) + list(B) + [win]):
-        mb = mb + jnp.where(feat_lane == r_, col, 0.0)
-    mb_ref[:, :] = mb
-
-
-def linearize_sparse_pallas(
-    src_t_q: jnp.ndarray,
-    rcar9: jnp.ndarray,
-    prep: SparseTarget,
-    radius: float,
-    prune_radius: float | None = None,
-    q_tile: int = 256,
-):
-    """Fused GICP linearization against a :func:`prepare_sparse_feat`
-    target: one pallas_call returns (y0, H, b, sqd, M, B) — everything
-    gicp._linearize needs per LM iteration. ``radius`` is the
-    correspondence gate; ``prune_radius`` (default = radius) dilates the
-    AABB pruning only. Traced inline so align()'s while_loop keeps the
-    prep as a loop constant.
-    """
-    Q = src_t_q.shape[0]
-    Tp = prep.tt.shape[1]
-    n_chunks = prep.t_lo.shape[0]
-    t_chunk = Tp // n_chunks
-    if prune_radius is None:
-        prune_radius = radius
-
-    # pad with the SENTINEL so padded rows fail the vf gate and
-    # contribute nothing to the in-kernel H/b sums
-    q = _pad_rows(src_t_q, q_tile, 1.0e6)
-    rc = _pad_rows(rcar9, q_tile, 0.0)
-    Qp = q.shape[0]
-    n_tiles = Qp // q_tile
-
-    qb = q.reshape(n_tiles, q_tile, 3)
-    q_lo, q_hi = qb.min(axis=1), qb.max(axis=1)
-    overlap = jnp.all(
-        (q_lo[:, None, :] - prune_radius <= prep.t_hi[None, :, :])
-        & (q_hi[:, None, :] + prune_radius >= prep.t_lo[None, :, :]),
-        axis=-1,
-    )
-    counts, lst = _sparse_chunk_lists(overlap)
-
-    grid = (n_tiles,)
-    scal, mb = pl.pallas_call(
-        partial(
-            _linearize_sparse_kernel,
-            t_chunk=t_chunk,
-            radius2=radius * radius,
-        ),
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
-            grid=grid,
-            in_specs=[
-                pl.BlockSpec(
-                    (q_tile, 3), lambda i, c, l: (i, 0),
-                    memory_space=pltpu.VMEM,
-                ),
-                pl.BlockSpec(
-                    (q_tile, 9), lambda i, c, l: (i, 0),
-                    memory_space=pltpu.VMEM,
-                ),
-                pl.BlockSpec(
-                    (12, Tp), lambda i, c, l: (0, 0),
-                    memory_space=pltpu.VMEM,
-                ),
-            ],
-            out_specs=[
-                pl.BlockSpec(
-                    (8, 128), lambda i, c, l: (i, 0),
-                    memory_space=pltpu.VMEM,
-                ),
-                pl.BlockSpec(
-                    (q_tile, 128), lambda i, c, l: (i, 0),
-                    memory_space=pltpu.VMEM,
-                ),
-            ],
-        ),
-        out_shape=[
-            jax.ShapeDtypeStruct((n_tiles * 8, 128), jnp.float32),
-            jax.ShapeDtypeStruct((Qp, 128), jnp.float32),
-        ],
-    )(counts, lst, q, rc, prep.tt)
-
-    # row 0 of each tile's (8, 128) block carries the partials
-    vals = jnp.sum(scal.reshape(n_tiles, 8, 128)[:, 0, :], axis=0)
-    y0 = vals[0]
-    H = jnp.zeros((6, 6), jnp.float32)
-    t_ = 1
-    for k in range(6):
-        for l in range(k, 6):
-            H = H.at[k, l].set(vals[t_])
-            if l != k:
-                H = H.at[l, k].set(vals[t_])
-            t_ += 1
-    b = vals[t_ : t_ + 6]
-    sqd = mb[:Q, 12]
-    M = mb[:Q, :9].reshape(Q, 3, 3)
-    B = mb[:Q, 9:12]
-    return y0, H, b, sqd, M, B
 
 
 def _nn_classes_kernel(qt_ref, tt_ref, idx_ref, dist_ref, *, t_chunk: int):

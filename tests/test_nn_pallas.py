@@ -167,84 +167,3 @@ def test_sparse_nn_env_flag_gicp_parity(monkeypatch):
     np.testing.assert_array_equal(
         np.asarray(aux_s[1]), np.asarray(aux_ref[1])
     )
-
-
-def test_fused_linearize_matches_exact(monkeypatch):
-    """The one-kernel fused linearization (sweep + winner fold + M/J +
-    in-kernel H/b partials) reproduces the exact XLA path's y0/H/b and
-    per-point M/B (forced through interpret mode on CPU by faking the
-    backend)."""
-    from dynamic_direct_lidar_odometry_tpu.ops import gicp
-
-    rng = np.random.default_rng(0)
-    src = jnp.asarray(rng.uniform(-10, 10, (256, 3)).astype(np.float32))
-    tgt = src + jnp.asarray([0.05, 0.02, -0.03])
-    mask = np.ones((256,), bool)
-    mask[5] = mask[100] = False  # some invalid source rows
-    mask = jnp.asarray(mask)
-    covs_s = jnp.broadcast_to(jnp.eye(3), (256, 3, 3))
-    rngc = rng.normal(size=(256, 3, 3)).astype(np.float32) * 0.1
-    covs_t = jnp.asarray(
-        np.eye(3) + rngc @ rngc.transpose(0, 2, 1)
-    ).astype(jnp.float32)
-    T = jnp.eye(4).at[0, 3].set(0.01)
-
-    y_ref, H_ref, b_ref, aux_ref = gicp._linearize(
-        T, src, mask, covs_s, tgt, mask, covs_t, 1.0, nn_impl="exact"
-    )
-
-    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
-    y_f, H_f, b_f, aux_f = gicp._linearize(
-        T, src, mask, covs_s, tgt, mask, covs_t, 1.0, nn_impl="fused"
-    )
-    np.testing.assert_allclose(float(y_f), float(y_ref), rtol=1e-4)
-    np.testing.assert_allclose(
-        np.asarray(H_f), np.asarray(H_ref), rtol=1e-3, atol=1e-2
-    )
-    np.testing.assert_allclose(
-        np.asarray(b_f), np.asarray(b_ref), rtol=1e-3, atol=1e-3
-    )
-    # aux parity: valid mask identical, M/B match on valid rows
-    _, valid_ref, M_ref, B_ref, sqd_ref = aux_ref
-    _, valid_f, M_f, B_f, sqd_f = aux_f
-    np.testing.assert_array_equal(np.asarray(valid_f), np.asarray(valid_ref))
-    v = np.asarray(valid_ref)
-    np.testing.assert_allclose(
-        np.asarray(B_f)[v], np.asarray(B_ref)[v], atol=1e-5
-    )
-    np.testing.assert_allclose(
-        np.asarray(M_f)[v], np.asarray(M_ref)[v], rtol=1e-4, atol=1e-4
-    )
-    np.testing.assert_allclose(
-        np.asarray(sqd_f)[v], np.asarray(sqd_ref)[v], rtol=1e-4, atol=1e-6
-    )
-
-
-def test_fused_align_matches_sparse_trajectory(monkeypatch):
-    """Full align() under the fused impl converges to the same pose as
-    the exact backend (interpret mode)."""
-    from dynamic_direct_lidar_odometry_tpu.ops import gicp
-
-    rng = np.random.default_rng(3)
-    src = jnp.asarray(rng.uniform(-8, 8, (384, 3)).astype(np.float32))
-    ang = 0.02
-    Rz = np.array(
-        [[np.cos(ang), -np.sin(ang), 0], [np.sin(ang), np.cos(ang), 0],
-         [0, 0, 1]], np.float32,
-    )
-    tgt = jnp.asarray(np.asarray(src) @ Rz.T + [0.05, -0.03, 0.01])
-    mask = jnp.ones((384,), bool)
-    covs = jnp.broadcast_to(jnp.eye(3), (384, 3, 3))
-
-    res_exact = gicp.align(
-        src, mask, covs, tgt, mask, covs, jnp.eye(4),
-        gicp.GICPSettings(nn_impl="exact", max_iterations=32),
-    )
-    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
-    res_fused = gicp.align(
-        src, mask, covs, tgt, mask, covs, jnp.eye(4),
-        gicp.GICPSettings(nn_impl="fused", max_iterations=32),
-    )
-    np.testing.assert_allclose(
-        np.asarray(res_fused.T), np.asarray(res_exact.T), atol=5e-4
-    )

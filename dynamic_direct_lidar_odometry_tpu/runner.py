@@ -359,13 +359,21 @@ def replay(
 
     pending = None  # scan whose bookkeeping is deferred one iteration
     last_t = None
+    staged = None  # (idx, pts, msk): next scan's device arrays, uploaded
+    # one scan ahead so the host->device copy overlaps the in-flight
+    # step's compute (the prefetching input pipeline bench.py models by
+    # staging its timed window up-front; 1.7 MB/scan)
     for i in range(start, n_scans):
         # low-return scan drop (odom.cc:635-639: "Low number of points!")
         if int(seq.mask[i].sum()) < cfg.gicp.min_num_points:
             dropped += 1
             continue
-        pts = jnp.asarray(seq.points[i])
-        msk = jnp.asarray(seq.mask[i])
+        if staged is not None and staged[0] == i:
+            pts, msk = staged[1], staged[2]
+        else:
+            pts = jnp.asarray(seq.points[i])
+            msk = jnp.asarray(seq.mask[i])
+        staged = None
         ts = jnp.float32(seq.stamps[i])
 
         # per-scan wall time, dispatch-to-dispatch: in the pipelined loop
@@ -397,6 +405,13 @@ def replay(
                 state, out = pipeline.step(
                     cfg, state, pts, msk, ts, hull_masks
                 )
+        # stage the next scan's upload behind the just-dispatched step
+        if i + 1 < n_scans and int(seq.mask[i + 1].sum()) >= cfg.gicp.min_num_points:
+            staged = (
+                i + 1,
+                jnp.asarray(seq.points[i + 1]),
+                jnp.asarray(seq.mask[i + 1]),
+            )
         pending = {
             "i": i, "out": out, "state": state,
             "prev_state": prev_state, "stamp": float(seq.stamps[i]),

@@ -38,21 +38,32 @@ def preprocess(
     """
     pre = cfg.preprocessing
     H, W = cfg.detection.rows, cfg.detection.columns
+    pts = raw_points
     mask = raw_mask
 
     if pre.downsampling.use:
-        mask = mask & filters.rowcol_downsample_mask(
-            H, W, pre.downsampling.row, pre.downsampling.col
-        )
+        r, c = pre.downsampling.row, pre.downsampling.col
+        if (r > 1 or c > 1) and raw_points.shape[0] == H * W:
+            # decimation keeps exactly the rows r%step==0 / cols c%step==0
+            # (rowcol_downsample_mask) — a STATIC strided slice, so drop
+            # the dead rows from the buffer instead of masking them: the
+            # voxel filter's argsort shrinks r*c-fold (10x at DOALS's
+            # col=10; the 131k-row sort was the preprocess hot spot).
+            # Valid points keep their relative order, so the stable
+            # Morton sort groups and sums bit-identically.
+            pts = raw_points.reshape(H, W, 3)[::r, ::c].reshape(-1, 3)
+            mask = raw_mask.reshape(H, W)[::r, ::c].reshape(-1)
+        else:
+            mask = mask & filters.rowcol_downsample_mask(H, W, r, c)
     if pre.crop_box.use:
-        mask = mask & filters.crop_box_mask(raw_points, pre.crop_box.size)
+        mask = mask & filters.crop_box_mask(pts, pre.crop_box.size)
 
     if pre.voxel_scan.use:
         pts, mask = filters.voxel_downsample(
-            raw_points, mask, pre.voxel_scan.res, cfg.capacity.max_points
+            pts, mask, pre.voxel_scan.res, cfg.capacity.max_points
         )
     else:
-        pts, mask = filters.compact(raw_points, mask, cfg.capacity.max_points)
+        pts, mask = filters.compact(pts, mask, cfg.capacity.max_points)
 
     med = masked_median_range(pts, mask)
     return PreprocessedScan(pts, mask, med)

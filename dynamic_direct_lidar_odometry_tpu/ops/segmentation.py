@@ -153,15 +153,32 @@ def label_components(
         bwd = jnp.flip(seg_scan(jnp.flip(L, axis=axis), mr, axis), axis=axis)
         return jnp.minimum(fwd, bwd)
 
+    # seam handling: e_left[:, 0] connects col 0 to col W-1 (the ring
+    # wrap). Instead of scanning a doubled [L | L] row (2x the min-scan
+    # work), scan single-width and merge the two seam-adjacent runs with
+    # two cheap boolean cum-ANDs: in_prefix marks col 0's maximal run,
+    # in_suffix marks col W-1's; where the seam edge holds, both runs
+    # take the min of their two run-minima — exactly what the doubled
+    # scan saturates to (a fully-connected ring makes both runs the
+    # whole row, which also matches).
+    m_row = e_left.at[:, 0].set(False)
+    in_prefix = jax.lax.associative_scan(
+        jnp.logical_and, m_row.at[:, 0].set(True), axis=1
+    )
+    ms = jnp.roll(m_row, -1, axis=1).at[:, -1].set(True)
+    in_suffix = jnp.flip(
+        jax.lax.associative_scan(jnp.logical_and, jnp.flip(ms, axis=1), axis=1),
+        axis=1,
+    )
+    seam_fix = e_left[:, :1] & (in_prefix | in_suffix)
+
     def row_sweep(L):
-        # wrap-aware: scan on [L | L] so runs crossing the ring seam
-        # (e_left[:, 0] connects col 0 to col W-1) saturate in one pass
-        L2 = jnp.concatenate([L, L], axis=1)
-        m2 = jnp.concatenate([e_left, e_left], axis=1).at[:, 0].set(False)
-        fwd = seg_scan(L2, m2, 1)[:, W:]
-        mr = jnp.flip(jnp.roll(m2, -1, axis=1), axis=1).at[:, 0].set(False)
-        bwd = jnp.flip(seg_scan(jnp.flip(L2, axis=1), mr, 1), axis=1)[:, :W]
-        return jnp.minimum(fwd, bwd)
+        fwd = seg_scan(L, m_row, 1)
+        mr = jnp.flip(jnp.roll(m_row, -1, axis=1), axis=1).at[:, 0].set(False)
+        bwd = jnp.flip(seg_scan(jnp.flip(L, axis=1), mr, 1), axis=1)
+        Lr = jnp.minimum(fwd, bwd)
+        s = jnp.minimum(Lr[:, :1], Lr[:, -1:])
+        return jnp.where(seam_fix, jnp.minimum(Lr, s), Lr)
 
     def col_sweep(L):
         return bidir_scan(L, e_up.at[0, :].set(False), 0)
@@ -322,15 +339,32 @@ def segment_objects(
     member = lab >= 0
     seg = jnp.where(member, lab, n)
 
-    # the one remaining scatter: per-root pixel count
-    sizes = jax.ops.segment_sum(
-        member.astype(jnp.float32), seg, num_segments=n + 1
-    )[:n]
+    # per-root pixel counts WITHOUT a scatter (a 131k scatter-add costs
+    # ~1.2 ms on TPU; a 131k sort ~0.16): sort the root ids, find run
+    # boundaries, and read each run's length at its last element. Each
+    # distinct root owns exactly one run, runs are ordered by root id,
+    # so top_k tie-breaking (smaller root wins) matches the scatter
+    # path's root-indexed top_k exactly.
+    srt = jnp.sort(seg)
+    idx = jnp.arange(n, dtype=jnp.int32)
+    is_start = jnp.concatenate(
+        [jnp.ones((1,), bool), srt[1:] != srt[:-1]]
+    )
+    run_start = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(is_start, idx, -1)
+    )
+    is_last = jnp.concatenate([srt[:-1] != srt[1:], jnp.ones((1,), bool)])
+    run_len = (idx - run_start + 1).astype(jnp.float32)
 
     K = min(candidates, n)
     min_size = jnp.minimum(jnp.float32(50.0), jnp.float32(valid_point_num))
-    cand_score = jnp.where(sizes >= jnp.maximum(min_size, 1.0), sizes, -1.0)
-    cand_sz, cand_roots = jax.lax.top_k(cand_score, K)
+    cand_score = jnp.where(
+        is_last & (srt < n) & (run_len >= jnp.maximum(min_size, 1.0)),
+        run_len,
+        -1.0,
+    )
+    cand_sz, cand_pos = jax.lax.top_k(cand_score, K)
+    cand_roots = srt[cand_pos]
     cand_ok = cand_sz > 0
     size = jnp.maximum(cand_sz, 0.0)
 
@@ -369,11 +403,18 @@ def segment_objects(
     slot_roots = jnp.where(slot_valid, cand_roots[top_idx], -1).astype(jnp.int32)
     slot_avg_res = jnp.where(slot_valid, avg_res[top_idx], 0.0)
 
-    root_to_slot = jnp.full((n + 1,), -1, jnp.int32)
-    root_to_slot = root_to_slot.at[jnp.where(slot_valid, slot_roots, n)].set(
-        jnp.arange(max_objects, dtype=jnp.int32), mode="drop"
+    # pixel -> slot WITHOUT the (n+1)-buffer scatter + 131k-row gather
+    # (~1 ms on TPU): each pixel belongs to at most one candidate row, so
+    # one (slot+1)-weighted pass over the candidate onehot recovers the
+    # slot id (0 -> no slot -> -1).
+    sel = (top_idx[:, None] == jnp.arange(K)[None, :]) & slot_valid[:, None]
+    w_slot = jnp.where(
+        slot_valid, jnp.arange(max_objects, dtype=jnp.float32) + 1.0, 0.0
     )
-    pixel_slot = jnp.where(member, root_to_slot[jnp.where(member, lab, 0)], -1)
+    wk = w_slot @ sel.astype(jnp.float32)  # (K,) slot+1 per candidate row
+    pixel_slot = (
+        jnp.einsum("k,kn->n", wk, onehot.astype(jnp.float32)) - 1.0
+    ).astype(jnp.int32)
     return slot_roots, slot_valid, pixel_slot.reshape(H, W), slot_avg_res
 
 

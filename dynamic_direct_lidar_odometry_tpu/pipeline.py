@@ -151,17 +151,25 @@ def step(
             trk_state, (DYNAMIC,), cfg.capacity.max_objects
         )
         # map per-pixel slots back to source points: identity for the
-        # organized layout, through the projection's point_index otherwise
+        # organized layout (point_index IS arange — skip the two 131k
+        # scatters, ~1 ms each on TPU), through the projection's
+        # point_index otherwise
         ps_img = det.pixel_slot.reshape(-1)
-        pidx = det.point_index.reshape(-1)
-        n_pts = raw_mask.shape[0]
-        ps = jnp.full((n_pts,), -1, jnp.int32)
-        ps = ps.at[jnp.where(pidx >= 0, pidx, n_pts)].set(ps_img, mode="drop")
         g_img = (det.ground == 1).reshape(-1)
-        ground = jnp.zeros((n_pts,), bool)
-        ground = ground.at[jnp.where(pidx >= 0, pidx, n_pts)].set(
-            g_img, mode="drop"
-        )
+        n_pts = raw_mask.shape[0]
+        if cfg.detection.organized and n_pts == H * W:
+            ps = ps_img
+            ground = g_img
+        else:
+            pidx = det.point_index.reshape(-1)
+            ps = jnp.full((n_pts,), -1, jnp.int32)
+            ps = ps.at[jnp.where(pidx >= 0, pidx, n_pts)].set(
+                ps_img, mode="drop"
+            )
+            ground = jnp.zeros((n_pts,), bool)
+            ground = ground.at[jnp.where(pidx >= 0, pidx, n_pts)].set(
+                g_img, mode="drop"
+            )
         in_obj = ps >= 0
         psc = jnp.clip(ps, 0, cfg.capacity.max_objects - 1)
         non_static = in_obj & non_static_slots[psc]

@@ -77,6 +77,7 @@ def replay(
     viz_every: int = 0,
     save_every: int = 0,
     export_clouds_every: int = 0,
+    hulls: str = "exact",
 ) -> ReplayResult:
     """Run the full DDLO node graph over a scan sequence.
 
@@ -166,7 +167,13 @@ def replay(
     # feeding scan i are from scan i-2's keyframe store (hull sets only
     # change on keyframe insertion, and a just-inserted keyframe is
     # always in the knn-nearest set anyway).
-    def host_hulls(st) -> tuple:
+    # ``hulls="device"`` skips the host round trip entirely and lets
+    # odometry.step fall back to the on-device approximations
+    # (keyframes.convex_hull_mask / concave_hull_mask) — the fully
+    # device-resident mode for deployments without a host loop.
+    def host_hulls(st) -> tuple | None:
+        if hulls == "device":
+            return None
         cv, cc = keyframes.exact_hull_masks_packed(
             keyframes.packed_hull_inputs(
                 st.odom.store, st.odom.keyframe_thresh_dist

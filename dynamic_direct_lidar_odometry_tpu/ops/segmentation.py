@@ -142,8 +142,44 @@ def label_components(
         out, _ = jax.lax.associative_scan(combine, (v, m), axis=axis)
         return out
 
-    def bidir_scan(L, m, axis):
+    # PACKED segmented min-scan: when label bits + run-key bits fit in
+    # an int32, a segmented min-scan collapses to ONE plain cummax. With
+    # key = run id (cumsum of break flags, non-decreasing along the
+    # scan), the prefix max of  (key << VB) | (MAXV - L)  always carries
+    # the current element's key (its own entry dominates every earlier
+    # run's), so its low bits hold MAXV - min(L over the current run's
+    # prefix). Halves the scanned payload vs the (value, mask) tuple
+    # combine and uses the native cumulative op. Keys depend only on the
+    # edge masks, so they hoist out of the while_loop.
+    VB = max(1, (H * W - 1).bit_length())
+    MAXV = jnp.int32((1 << VB) - 1)
+    packed_ok = (VB + max((W + 1).bit_length(), (H + 1).bit_length())) <= 31
+
+    def seg_scan_packed(L, key, axis):
+        enc = (key << VB) | (MAXV - jnp.minimum(L, MAXV))
+        cm = jax.lax.associative_scan(jnp.maximum, enc, axis=axis)
+        return MAXV - (cm & MAXV)
+
+    def run_keys(m, axis):
+        """(fwd key, bwd mask's key in flipped space) for one scan axis."""
+        kf = jnp.cumsum(~m, axis=axis, dtype=jnp.int32)
+        mr = jnp.flip(jnp.roll(m, -1, axis=axis), axis=axis)
+        if axis == 0:
+            mr = mr.at[0, :].set(False)
+        else:
+            mr = mr.at[:, 0].set(False)
+        kb = jnp.cumsum(~mr, axis=axis, dtype=jnp.int32)
+        return kf, kb
+
+    def bidir_scan(L, m, axis, keys=None):
         """min over each element's maximal connected run, both directions."""
+        if keys is not None:
+            kf, kb = keys
+            fwd = seg_scan_packed(L, kf, axis)
+            bwd = jnp.flip(
+                seg_scan_packed(jnp.flip(L, axis=axis), kb, axis), axis=axis
+            )
+            return jnp.minimum(fwd, bwd)
         fwd = seg_scan(L, m, axis)
         mr = jnp.flip(jnp.roll(m, -1, axis=axis), axis=axis)
         if axis == 0:
@@ -172,16 +208,17 @@ def label_components(
     )
     seam_fix = e_left[:, :1] & (in_prefix | in_suffix)
 
+    m_col = e_up.at[0, :].set(False)
+    row_keys = run_keys(m_row, 1) if packed_ok else None
+    col_keys = run_keys(m_col, 0) if packed_ok else None
+
     def row_sweep(L):
-        fwd = seg_scan(L, m_row, 1)
-        mr = jnp.flip(jnp.roll(m_row, -1, axis=1), axis=1).at[:, 0].set(False)
-        bwd = jnp.flip(seg_scan(jnp.flip(L, axis=1), mr, 1), axis=1)
-        Lr = jnp.minimum(fwd, bwd)
+        Lr = bidir_scan(L, m_row, 1, keys=row_keys)
         s = jnp.minimum(Lr[:, :1], Lr[:, -1:])
         return jnp.where(seam_fix, jnp.minimum(Lr, s), Lr)
 
     def col_sweep(L):
-        return bidir_scan(L, e_up.at[0, :].set(False), 0)
+        return bidir_scan(L, m_col, 0, keys=col_keys)
 
     def cond(state):
         L, prev, it = state

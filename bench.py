@@ -184,10 +184,20 @@ def run_timed():
 
     from dynamic_direct_lidar_odometry_tpu.utils import devtime
 
-    # EXACT host hull masks, like the replay driver (runner.py), refreshed
-    # once per chunk from the previous chunk's final state (one packed
-    # device->host fetch; relay round trips are latency)
+    # Keyframe hull memberships. Default "device": the fully
+    # device-resident mode — odometry.step falls back to the on-device
+    # hull approximations (keyframes.convex_hull_mask /
+    # concave_hull_mask), so the timed loop has NO per-chunk host round
+    # trip (the exact-hull pack+fetch measured ~24 ms/chunk = 3 ms/scan
+    # of pure relay latency, ATTRIBUTION_r04). Accuracy at this exact
+    # config is certified by ACCURACY_r04.json (tools/accuracy_tpu.py
+    # --hulls device): ATE vs GT unchanged vs exact host hulls.
+    # DDLO_BENCH_HULLS=exact restores the host-hull loop.
+    hulls_mode = os.environ.get("DDLO_BENCH_HULLS", "device")
+
     def host_hulls(st):
+        if hulls_mode == "device":
+            return None
         cv, cc = keyframes.exact_hull_masks_packed(
             keyframes.packed_hull_inputs(
                 st.odom.store, st.odom.keyframe_thresh_dist
@@ -261,8 +271,8 @@ def run_timed():
         "value": round(hz, 3),
         "unit": "Hz (64x2048 scans/s, full dynamic pipeline, 1 chip, "
                 "steady-state %d-keyframe replay, %d-scan dispatch "
-                "chunks, device-staged input; median of %d passes)"
-                % (n_kf, K, len(passes)),
+                "chunks, device-staged input, %s hulls; median of %d "
+                "passes)" % (n_kf, K, hulls_mode, len(passes)),
         "vs_baseline": round(hz / 10.0, 3),
         "passes_hz": passes,
         "min_hz": min(passes),

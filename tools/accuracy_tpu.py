@@ -48,7 +48,8 @@ VARIANTS = {
 }
 
 
-def run_child(name: str, n_scans: int, out_npz: str, timeout_s: float):
+def run_child(name: str, n_scans: int, out_npz: str, timeout_s: float,
+              hulls: str = "device"):
     spec = VARIANTS[name]
     env = dict(os.environ)
     env.update(spec["env"])
@@ -60,7 +61,7 @@ def run_child(name: str, n_scans: int, out_npz: str, timeout_s: float):
     cmd = [
         sys.executable, os.path.abspath(__file__),
         "--child", "--scans", str(n_scans), "--npz", out_npz,
-        "--require-platform", spec["platform"],
+        "--require-platform", spec["platform"], "--hulls", hulls,
     ]
     r = subprocess.run(
         cmd, cwd=REPO, env=env, timeout=timeout_s,
@@ -73,7 +74,8 @@ def run_child(name: str, n_scans: int, out_npz: str, timeout_s: float):
     return r.stdout
 
 
-def child_main(n_scans: int, npz_path: str, require_platform: str):
+def child_main(n_scans: int, npz_path: str, require_platform: str,
+               hulls: str = "device"):
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/ddlo_jax_cache")
@@ -91,7 +93,7 @@ def child_main(n_scans: int, npz_path: str, require_platform: str):
 
     cfg = cfg_lib.bench_config()
     seq = dataset.steady_state_sequence(n_scans=n_scans)
-    res = runner.replay(cfg, seq)
+    res = runner.replay(cfg, seq, hulls=hulls)
     ate_gt = runner.ate_rmse(res.poses, seq.gt_poses, res.stamps, seq.stamps)
     np.savez(
         npz_path,
@@ -133,11 +135,16 @@ def main():
                     help="skip variants whose .accuracy_runs npz already "
                          "exists (same code/sequence)")
     ap.add_argument("--npz", default="")
+    ap.add_argument("--hulls", default="device", choices=("exact", "device"),
+                    help="keyframe hull source: host-exact qhull or the "
+                         "fully on-device approximations (the bench.py "
+                         "default)")
     ap.add_argument("--require-platform", default="tpu")
     args = ap.parse_args()
 
     if args.child:
-        child_main(args.scans, args.npz, args.require_platform)
+        child_main(args.scans, args.npz, args.require_platform,
+                   hulls=args.hulls)
         return 0
 
     import numpy as np
@@ -156,7 +163,8 @@ def main():
             print(f"[accuracy] reusing {npz}", flush=True)
             continue
         print(f"[accuracy] running {name} ...", flush=True)
-        out = run_child(name, args.scans, npz, timeout_s=3600)
+        out = run_child(name, args.scans, npz, timeout_s=3600,
+                        hulls=args.hulls)
         print(f"[accuracy] {name}: {out.strip()}", flush=True)
 
     # TPU legs behind the relay probe
@@ -180,7 +188,8 @@ def main():
             print(f"[accuracy] reusing {npz}", flush=True)
             continue
         print(f"[accuracy] running {name} ...", flush=True)
-        out = run_child(name, args.scans, npz, timeout_s=2400)
+        out = run_child(name, args.scans, npz, timeout_s=2400,
+                        hulls=args.hulls)
         print(f"[accuracy] {name}: {out.strip()}", flush=True)
 
     for name in VARIANTS:
@@ -189,7 +198,7 @@ def main():
 
     report = {
         "sequence": f"steady_state_sequence(n_scans={args.scans}), 64x2048, "
-                    "bench_config (exact host hulls via runner.replay)",
+                    f"bench_config ({args.hulls} hulls via runner.replay)",
         "n_scans": args.scans,
         "n_keyframes": int(results["tpu_default"]["n_keyframes"]),
         "ate_vs_gt_m": {

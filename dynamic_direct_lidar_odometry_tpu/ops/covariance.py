@@ -45,25 +45,82 @@ def plane_covariances(
       (N, 3, 3) covariances; invalid points get identity (they are masked
       out of every downstream reduction anyway).
     """
+    import os
+
     tgt = points if neighbor_points is None else neighbor_points
-    idx, _ = knn_ops.knn_best(points, tgt, k)
-    neigh = tgt[idx]  # (N, k, 3)
-    mean = jnp.mean(neigh, axis=1, keepdims=True)
-    centered = neigh - mean
-    # cov = X^T X / k, matching the reference's normalization
-    # (nano_gicp_impl.hpp:398-399). HIGHEST: the default bf16 matmul pass
-    # drowns the small eigenvalue that PLANE regularization keys on.
-    cov = (
-        jnp.einsum(
-            "nki,nkj->nij", centered, centered,
-            precision=jax.lax.Precision.HIGHEST,
+    impl = os.environ.get("DDLO_KNN_IMPL", "auto")
+    if (
+        neighbor_points is None
+        and jax.default_backend() == "tpu"
+        and impl in ("auto", "window")
+    ):
+        cov = _window_self_covariances(points, k)
+    else:
+        idx, _ = knn_ops.knn_best(points, tgt, k)
+        neigh = tgt[idx]  # (N, k, 3)
+        mean = jnp.mean(neigh, axis=1, keepdims=True)
+        centered = neigh - mean
+        # cov = X^T X / k, matching the reference's normalization
+        # (nano_gicp_impl.hpp:398-399). HIGHEST: the default bf16 matmul
+        # pass drowns the small eigenvalue PLANE regularization keys on.
+        cov = (
+            jnp.einsum(
+                "nki,nkj->nij", centered, centered,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            / k
         )
-        / k
-    )
 
     cov_reg = regularize_plane(cov)
     eye = jnp.broadcast_to(jnp.eye(3, dtype=points.dtype), cov_reg.shape)
     return jnp.where(mask[:, None, None], cov_reg, eye)
+
+
+def _window_self_covariances(
+    points: jnp.ndarray, k: int, half_window: int = 64
+) -> jnp.ndarray:
+    """Self-neighborhood covariances over a MORTON-WINDOW candidate set.
+
+    The TPU default for the pipeline's self k-NN covariances: every
+    cloud reaching this path is a ``filters.voxel_downsample`` output,
+    whose rows are Morton (z-order) sorted — spatial neighbors sit close
+    in row order. So the k nearest among the 2*half_window+1 sorted-
+    window rows are taken instead of the k nearest globally: the
+    candidate set builds from plain row SHIFTS (no gather, no kernel),
+    distances/top-k/moment sums all fuse on the VPU, replacing the
+    ~2.5 ms lane-class k-NN kernel + (N, k) gather with ~0.5 ms of
+    fused work at 16k points. Approximation error mirrors the lane-class
+    kernel's (a neighbor outside the window is replaced by the next
+    nearest inside it) — benign for PLANE-regularized covariances;
+    end-to-end ATE cost is certified in ACCURACY_r04.json. Invalid
+    (SENTINEL) rows and the wrap-around shift edges lose every top-k
+    race by distance, so they never pollute a real neighborhood.
+
+    Moments are computed query-centered (y = x - p_q, |y| ~ the
+    neighborhood radius) so the f32 E[yy] - mm subtraction never
+    cancels against |x|^2-sized terms.
+    """
+    D = 2 * half_window + 1
+    offs = list(range(-half_window, half_window + 1))
+    # (D, N, 3) candidate stack from row shifts (wrap edges are benign)
+    R = jnp.stack([jnp.roll(points, -d, axis=0) for d in offs])
+    Rc = R - points[None, :, :]  # query-centered
+    d2 = jnp.sum(Rc * Rc, axis=-1)  # (D, N)
+    # k smallest distances per query (self included at offset 0)
+    _, top_i = jax.lax.top_k(-d2.T, k)  # (N, k) window indices
+    win = jnp.arange(D, dtype=top_i.dtype)
+    wmask = jnp.any(
+        top_i[:, :, None] == win[None, None, :], axis=1
+    )  # (N, D) winner mask
+    m = wmask.T.astype(points.dtype)  # (D, N)
+    sum_y = jnp.einsum(
+        "dn,dni->ni", m, Rc, precision=jax.lax.Precision.HIGHEST
+    )
+    sum_yy = jnp.einsum(
+        "dn,dni,dnj->nij", m, Rc, Rc, precision=jax.lax.Precision.HIGHEST
+    )
+    mean_y = sum_y / k
+    return sum_yy / k - mean_y[:, :, None] * mean_y[:, None, :]
 
 
 def smallest_eigvec_sym3(A: jnp.ndarray) -> jnp.ndarray:

@@ -146,10 +146,15 @@ def stage_static_mask(cfg, trk_state, pixel_slot, point_index, ground_img,
         trk_state, (UNDEFINED, DYNAMIC), cfg.capacity.max_objects
     )
     ps_img = pixel_slot.reshape(-1)
-    pidx = point_index.reshape(-1)
     n_pts = raw_mask.shape[0]
-    ps = jnp.full((n_pts,), -1, jnp.int32)
-    ps = ps.at[jnp.where(pidx >= 0, pidx, n_pts)].set(ps_img, mode="drop")
+    if cfg.detection.organized and n_pts == H * W:
+        ps = ps_img
+    else:
+        pidx = point_index.reshape(-1)
+        ps = jnp.full((n_pts,), -1, jnp.int32)
+        ps = ps.at[jnp.where(pidx >= 0, pidx, n_pts)].set(
+            ps_img, mode="drop"
+        )
     in_obj = ps >= 0
     psc = jnp.clip(ps, 0, cfg.capacity.max_objects - 1)
     non_static = in_obj & non_static_slots[psc]
@@ -193,7 +198,14 @@ def main():
     print(f"backend: {jax.default_backend()}  scans: {len(scans)}",
           flush=True)
 
+    # mirror bench.py's hull mode: default "device" (no host round trip,
+    # on-device hull approximations inside the step), "exact" restores
+    # the per-chunk host qhull refresh
+    hulls_mode = os.environ.get("DDLO_BENCH_HULLS", "device")
+
     def host_hulls(st):
+        if hulls_mode == "device":
+            return None
         cv, cc = kfmod.exact_hull_masks_packed(
             kfmod.packed_hull_inputs(
                 st.odom.store, st.odom.keyframe_thresh_dist
@@ -312,9 +324,10 @@ def main():
             "s2s_align", stage_s2s, cfg, p.points, p.mask, covs,
             st.prev_points, st.prev_mask, st.prev_covs, guess, st.T_s2s_prev,
         )
+        cvm, ccm = hulls if hulls is not None else (None, None)
         sub_pts, sub_mask, sub_covs = probe(
             "submap_gather", stage_submap, cfg, st.store, T_s2s[:3, 3],
-            st.keyframe_thresh_dist, hulls[0], hulls[1],
+            st.keyframe_thresh_dist, cvm, ccm,
         )
         s2m = probe(
             "s2m_align", stage_s2m, cfg, p.points, p.mask, covs,
@@ -376,16 +389,20 @@ def main():
         devtime.sync(a[0])
     upload_chunk_ms = (time.perf_counter() - t0) / 3 * 1e3
 
-    t0 = time.perf_counter()
-    for r in range(3):
-        hh = host_hulls(state)  # FIFO empty: pack + fetch RTT + scipy
-    hull_refresh_ms = (time.perf_counter() - t0) / 3 * 1e3
-    del hh
+    if hulls_mode == "device":
+        hull_refresh_ms = 0.0  # no host hull loop in device mode
+    else:
+        t0 = time.perf_counter()
+        for r in range(3):
+            hh = host_hulls(state)  # FIFO empty: pack + fetch RTT + scipy
+        hull_refresh_ms = (time.perf_counter() - t0) / 3 * 1e3
+        del hh
 
     overhead = {
         "upload_chunk_ms": round(upload_chunk_ms, 2),
         "upload_per_scan_ms": round(upload_chunk_ms / K, 2),
         "hull_refresh_chunk_ms": round(hull_refresh_ms, 2),
+        "hulls_mode": hulls_mode,
         "hull_refresh_per_scan_ms": round(hull_refresh_ms / K, 2),
         "fetch_rtt_ms": round(ov * 1e3, 2),
     }

@@ -185,13 +185,17 @@ def run_timed():
     from dynamic_direct_lidar_odometry_tpu.utils import devtime
 
     # Keyframe hull memberships. Default "device": the fully
-    # device-resident mode — odometry.step falls back to the on-device
-    # hull approximations (keyframes.convex_hull_mask /
-    # concave_hull_mask), so the timed loop has NO per-chunk host round
-    # trip (the exact-hull pack+fetch measured ~24 ms/chunk = 3 ms/scan
-    # of pure relay latency, ATTRIBUTION_r04). Accuracy at this exact
-    # config is certified by ACCURACY_r04.json (tools/accuracy_tpu.py
-    # --hulls device): ATE vs GT unchanged vs exact host hulls.
+    # device-resident mode — odometry.step computes the EXACT
+    # triple-sweep hulls on device (keyframes.convex_hull_mask /
+    # concave_hull_mask: brute-force facet / alpha-complex tests,
+    # submap-Jaccard 1.0 vs the host qhull oracle,
+    # tests/test_approximations.py), so the timed loop has NO per-chunk
+    # host round trip (the exact-hull pack+fetch measured ~24 ms/chunk
+    # = 3 ms/scan of pure relay latency, ATTRIBUTION_r04). Trajectory
+    # accuracy at this configuration — device hulls, default NN
+    # backends, this same steady-state sequence — is certified by
+    # ACCURACY_r05.json (tools/accuracy_tpu.py: ATE vs GT, default vs
+    # exact NN, and device vs exact hulls all measured there).
     # DDLO_BENCH_HULLS=exact restores the host-hull loop.
     hulls_mode = os.environ.get("DDLO_BENCH_HULLS", "device")
 

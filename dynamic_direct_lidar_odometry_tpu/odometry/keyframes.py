@@ -21,17 +21,25 @@ Hull memberships come in two flavors:
   pcl::ConvexHull / pcl::ConcaveHull compute. K <= 64 points of
   sequential geometry is host work; the replay driver recomputes the
   masks in its pipelined bookkeeping slot (overlapped with device
-  compute) and feeds them to :func:`select_submap`. This is the default
-  path for replay and matches the reference exactly.
-- APPROXIMATE, on-device (:func:`convex_hull_mask` directional
-  extremality, :func:`concave_hull_mask` angular-gap boundary): the
-  fallback when no host is in the loop (vmapped batch sweeps, the
-  multichip dryrun). Measured against the exact oracles in
-  tests/test_approximations.py: the convex approximation selects only
-  true hull vertices (precision ~1.0) but finds a minority of them on
-  trajectory-like keyframe sets (recall ~0.3), giving ~0.7 submap-member
-  Jaccard vs exact — acceptable for throughput sweeps, not for
-  reference-parity replay.
+  compute) and feeds them to :func:`select_submap`. Through the TPU
+  relay the per-chunk pack + fetch costs ~3 ms/scan of pure latency, so
+  it is no longer the bench default — it remains the oracle and the
+  `hulls="exact"` replay mode.
+- EXACT, on-device (:func:`convex_hull_mask` facet test,
+  :func:`concave_hull_mask` alpha-complex test): brute-force O(K^3)
+  triple sweeps — a plane-side test over all point triples for the 3D
+  convex hull, a circumcircle-emptiness (Delaunay) + circumradius test
+  for the 2D alpha complex. At K <= 64 keyframes that is ~42k triples
+  x K support points: one small matmul plus VPU compares, exactly the
+  shape TPUs are fastest at, so "recompute the hulls every scan"
+  (odom.cc:993-1065) costs microseconds on device and the replay loop
+  needs NO host round trip. Agreement with the host oracles (measured,
+  tests/test_approximations.py): recall 1.0 for both; precision ~0.99
+  (f32 plane/circle tolerances over-mark a few near-degenerate points —
+  a benign superset for submap selection); submap-member Jaccard vs the
+  exact union rule = 1.0 on all tested trajectories. This is the bench
+  default (DDLO_BENCH_HULLS=device) and is replay-grade; ACCURACY_r05
+  certifies the trajectory at this exact configuration.
 """
 
 from __future__ import annotations
@@ -90,11 +98,31 @@ def add_keyframe(
 ) -> KeyframeStore:
     """Conditionally insert a keyframe at slot ``count`` (masked write).
 
-    At capacity, new keyframes overwrite the last slot (the reference
-    grows unboundedly; a production TPU deployment needs a bound — the
-    cap should simply be sized for the sweep).
+    At capacity, EVICT the farthest-from-current-pose keyframe that is
+    not a convex-hull member: hull vertices bound the traversed region
+    and feed the hull-based submap selection (odom.cc:1215-1283), so
+    evicting them would silently shrink the loop-closure-ish coverage
+    the hull terms exist to provide. If every valid keyframe is a hull
+    vertex (collinear/circular sweeps), evict the farthest overall —
+    degrading to a sliding window that follows the robot. The reference
+    grows without bound (odom.cc:1129-1154); a fixed-capacity design
+    must choose deliberately. The O(K^3) hull sweep runs only on the
+    at-capacity insert branch (lax.cond), so ordinary scans never pay
+    for it.
     """
-    i = jnp.minimum(store.count, store.capacity - 1)
+    at_cap = store.count >= store.capacity
+
+    def victim(_):
+        ds = jnp.linalg.norm(store.positions - position, axis=1)
+        hull = convex_hull_mask(store.positions, store.valid)
+        cand = store.valid & ~hull
+        cand = jnp.where(jnp.any(cand), cand, store.valid)
+        return jnp.argmax(jnp.where(cand, ds, -1.0)).astype(jnp.int32)
+
+    def append(_):
+        return jnp.minimum(store.count, store.capacity - 1)
+
+    i = jax.lax.cond(at_cap & do_add, victim, append, operand=None)
     sel = jnp.arange(store.capacity) == i
     w = (sel & do_add)[:, None]
     return KeyframeStore(
@@ -109,114 +137,213 @@ def add_keyframe(
 
 
 def overflow_count(store: KeyframeStore) -> jnp.ndarray:
-    """How many keyframes were accepted past capacity (each silently
-    overwrote the last slot, so the submap stopped growing). Non-zero
-    means ``max_keyframes`` is undersized for the sweep — saturation
-    telemetry surfaced by the replay driver."""
+    """How many keyframes were accepted past capacity (each evicted the
+    farthest non-hull keyframe, see :func:`add_keyframe`). Non-zero
+    means the store is operating as a bounded sliding map rather than
+    the reference's unbounded one — saturation telemetry surfaced as a
+    warning by the replay driver."""
     return jnp.maximum(store.count - store.capacity, 0)
 
 
 # ---------------------------------------------------------------------------
-# Hull membership (approximations, see module docstring)
+# Hull membership, exact and on-device (see module docstring)
 # ---------------------------------------------------------------------------
+
+_TRIPLE_BLOCK = 16384
+
+
+def _triple_blocks(K: int):
+    """All unordered point triples i<j<k of range(K), padded to a whole
+    number of _TRIPLE_BLOCK-sized blocks with the out-of-range index K
+    (pad triples fail the validity gate). Built once per capacity at
+    trace time; (nblocks, 3, B) int32."""
+    tri = np.array(
+        [
+            (i, j, k)
+            for i in range(K)
+            for j in range(i + 1, K)
+            for k in range(j + 1, K)
+        ],
+        np.int32,
+    ).reshape(-1, 3)
+    B = _TRIPLE_BLOCK
+    pad = (-len(tri)) % B
+    tri = np.concatenate([tri, np.full((pad, 3), K, np.int32)])
+    return jnp.asarray(tri.reshape(-1, B, 3).transpose(0, 2, 1))
+
+
+def _pair_blocks(K: int):
+    """All unordered pairs i<j, block-padded like :func:`_triple_blocks`;
+    (nblocks, 2, B) int32."""
+    pr = np.array(
+        [(i, j) for i in range(K) for j in range(i + 1, K)], np.int32
+    ).reshape(-1, 2)
+    B = _TRIPLE_BLOCK
+    pad = (-len(pr)) % B
+    pr = np.concatenate([pr, np.full((pad, 2), K, np.int32)])
+    return jnp.asarray(pr.reshape(-1, B, 2).transpose(0, 2, 1))
 
 
 def convex_hull_mask(positions: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
-    """Approximate convex-hull vertex set via directional extremality.
+    """EXACT 3D convex-hull vertex set via the brute-force facet test.
 
-    Mirrors computeConvexHull (odom.cc:993-1028): with <4 valid keyframes
-    the hull set is empty (reference early-returns, leaving the previous —
-    initially empty — index list; here simply empty)."""
+    A triple of points spans a hull facet iff every other point lies on
+    one side of its plane; every hull vertex is an endpoint of some
+    facet. O(K^3) triples x K support points is ~2.7M f32 compares at
+    K=64 — one tiny matmul + a VPU reduction, microseconds on TPU, so
+    the reference's recompute-every-scan hull (computeConvexHull,
+    odom.cc:993-1028) runs fully on device with no host in the loop.
+    Mirrors the reference's early-returns: empty below 4 valid
+    keyframes; degenerate (coplanar, no facet found) falls back to
+    all-valid like the host path's QhullError branch. f32 plane
+    tolerance over-marks points within ~1e-5*scale of a facet plane
+    (measured precision ~0.99 at recall 1.0) — a benign superset for
+    submap selection."""
     K = positions.shape[0]
     n = jnp.sum(valid)
-    vf = valid[:, None].astype(positions.dtype)
-    centroid = jnp.sum(positions * vf, axis=0) / jnp.maximum(jnp.sum(vf), 1.0)
-    # probe directions: centroid->point rays PLUS all pairwise
-    # differences (K + K^2 of them; the support matmul over <=64
-    # keyframes is trivial). Every argmax along a direction is a true
-    # extreme point, so precision stays ~1.0; the pairwise rays cover
-    # hull-edge directions the K centroid rays miss, which is what
-    # closes most of the recall (and submap-selection) gap to the exact
-    # qhull vertex set.
-    d1 = positions - centroid
-    ok1 = valid
-    diff = positions[:, None, :] - positions[None, :, :]
-    ok2 = (valid[:, None] & valid[None, :]).reshape(-1)
-    d2 = diff.reshape(K * K, 3)
-    en = d2 / jnp.maximum(jnp.linalg.norm(d2, axis=1, keepdims=True), 1e-9)
-    # hull-EDGE normals: for mostly-planar keyframe sets (trajectories)
-    # the directions that expose boundary vertices are normals of
-    # boundary edges, i.e. cross(edge, plane normal). Every pair
-    # includes every hull edge, and crossing with all three coordinate
-    # axes covers any plane orientation; the +-eps*edge tilts break the
-    # argmax tie so BOTH edge endpoints get selected (the larger tilts
-    # also expose blunt, nearly-collinear vertices). Measured on noisy
-    # spiral sets: recall 0.98 at precision 1.0 (vs 0.30 for the
-    # centroid rays alone).
-    axes = jnp.eye(3, dtype=positions.dtype)
-    cr = jnp.cross(en[:, None, :], axes[None, :, :])  # (K*K, 3, 3)
-    cn = jnp.linalg.norm(cr, axis=-1, keepdims=True)
-    ok_c = (cn[..., 0] > 1e-3) & ok2[:, None]  # (K*K, 3)
-    ch = cr / jnp.maximum(cn, 1e-9)
-    tilt = jnp.asarray(
-        [1e-3, -1e-3, 2e-2, -2e-2, 2e-1, -2e-1], positions.dtype
+    p = jnp.concatenate([positions, jnp.zeros((1, 3), positions.dtype)])
+    v = jnp.concatenate([valid, jnp.zeros((1,), bool)])
+    scale = jnp.max(jnp.where(valid[:, None], jnp.abs(positions), 0.0))
+    tol = 1e-5 * scale
+    blocks = _triple_blocks(K)
+
+    def body(carry, tri):
+        mask, any_facet = carry
+        ii, jj, kk = tri[0], tri[1], tri[2]
+        a, b, c = p[ii], p[jj], p[kk]
+        nrm = jnp.cross(b - a, c - a)
+        nn = jnp.linalg.norm(nrm, axis=1)
+        ok = v[ii] & v[jj] & v[kk] & (nn > 1e-6 * scale * scale)
+        nrm = nrm / jnp.maximum(nn, 1e-12)[:, None]
+        # HIGHEST precision: the plane-side test resolves 1e-5*scale;
+        # the default bf16 MXU pass would drown it (CLAUDE.md numerics)
+        s = jnp.dot(
+            nrm, positions.T, precision=jax.lax.Precision.HIGHEST
+        ) - jnp.sum(nrm * a, axis=1, keepdims=True)
+        s = jnp.where(valid[None, :], s, 0.0)
+        # a REAL facet has support strictly beyond tol on exactly one
+        # side; triples with the whole set within tol of their plane
+        # (the set is flat) must not count, or every coplanar triple
+        # would mark everything — flat sets fall through to the 2D
+        # edge test below instead
+        near = jnp.all(jnp.abs(s) <= tol, axis=1)
+        facet = ok & ~near & (
+            jnp.all(s <= tol, axis=1) | jnp.all(s >= -tol, axis=1)
+        )
+        for idx in (ii, jj, kk):
+            mask = mask.at[jnp.where(facet, idx, K)].set(True, mode="drop")
+        return (mask, any_facet | jnp.any(facet)), None
+
+    (mask, any_facet), _ = jax.lax.scan(
+        body, (jnp.zeros((K,), bool), jnp.zeros((), bool)), blocks
     )
-    d3 = (
-        ch[:, :, None, :] + tilt[None, None, :, None] * en[:, None, None, :]
-    ).reshape(-1, 3)  # (K*K*6, 3)
-    ok3 = jnp.broadcast_to(
-        ok_c[:, :, None], ok_c.shape + (tilt.shape[0],)
-    ).reshape(-1)
-    dirs = jnp.concatenate([d1, d2, d3], axis=0)
-    ok = jnp.concatenate([ok1, ok2, ok3], axis=0)
-    nrm = jnp.linalg.norm(dirs, axis=1, keepdims=True)
-    ok = ok & (nrm[:, 0] > 1e-9)
-    dirs = dirs / jnp.maximum(nrm, 1e-9)
-    # support values: s[i, j] = <dir_i, p_j>, invalid j lose
-    s = dirs @ positions.T
-    s = jnp.where(valid[None, :], s, -_INF)
-    arg = jnp.argmax(s, axis=1)  # best point along each direction
-    is_vertex = jnp.zeros((K,), bool).at[
-        jnp.where(ok, arg, K)
-    ].set(True, mode="drop")
-    is_vertex = is_vertex & valid
-    return jnp.where(n >= 4, is_vertex, jnp.zeros((K,), bool))
+
+    # Exactly-coplanar sets (flat synthetic trajectories) have no 3D
+    # facet; scipy raises QhullError there and the host falls back to
+    # all-valid, but the 2D XY edge test (a pair (i,j) spans a hull edge
+    # iff every other point is on one side of its line) recovers the
+    # true planar hull for the common ground-plane case. Collinear-in-XY
+    # sets mark every pair — degrading to the all-valid fallback.
+    def body2(mask2, pr):
+        ii, jj = pr[0], pr[1]
+        a, b = p[ii, :2], p[jj, :2]
+        d = b - a
+        nrm = jnp.stack([-d[:, 1], d[:, 0]], axis=1)
+        nn = jnp.linalg.norm(nrm, axis=1)
+        ok = v[ii] & v[jj] & (nn > 1e-9)
+        nrm = nrm / jnp.maximum(nn, 1e-12)[:, None]
+        s = jnp.dot(
+            nrm, positions[:, :2].T, precision=jax.lax.Precision.HIGHEST
+        ) - jnp.sum(nrm * a, axis=1, keepdims=True)
+        s = jnp.where(valid[None, :], s, 0.0)
+        edge = ok & (
+            jnp.all(s <= tol, axis=1) | jnp.all(s >= -tol, axis=1)
+        )
+        for idx in (ii, jj):
+            mask2 = mask2.at[jnp.where(edge, idx, K)].set(True, mode="drop")
+        return mask2, None
+
+    mask2, _ = jax.lax.scan(body2, jnp.zeros((K,), bool), _pair_blocks(K))
+    mask2 = jnp.where(jnp.any(mask2), mask2, valid)
+    mask = jnp.where(any_facet, mask, mask2) & valid
+    return jnp.where(n >= 4, mask, jnp.zeros((K,), bool))
 
 
 def concave_hull_mask(
     positions: jnp.ndarray, valid: jnp.ndarray, alpha: jnp.ndarray
 ) -> jnp.ndarray:
-    """Approximate alpha-shape boundary via the XY angular-gap test.
+    """EXACT 2D alpha-shape boundary via the brute-force alpha-complex
+    test.
 
     Mirrors computeConcaveHull (odom.cc:1030-1065), alpha = adaptive
-    keyframe distance threshold (odom.cc:1177). Empty below 5 keyframes."""
+    keyframe distance threshold (odom.cc:1177). A triangle is in the
+    alpha complex iff its circumcircle is empty of other points
+    (= Delaunay, general position) AND its circumradius <= alpha;
+    boundary points are the endpoints of edges on exactly ONE kept
+    triangle, plus points in no kept triangle — the same rule as the
+    host oracle (:func:`exact_hull_masks`). Per-block edge counting is
+    three one-hot (B,K)@(B,K) matmuls (no scatters). Empty below 5
+    valid keyframes. Measured vs the oracle: recall 1.0, precision
+    ~0.99 (f32 circumcircle tolerance on near-cocircular quadruples)."""
     K = positions.shape[0]
     n = jnp.sum(valid)
-    d = positions[:, None, :2] - positions[None, :, :2]  # (K, K, 2) j -> i? no: i->j
-    dist = jnp.linalg.norm(d, axis=-1)
-    neigh = (
-        valid[None, :]
-        & valid[:, None]
-        & (dist < 2.0 * alpha)
-        & (dist > 1e-6)
-    )  # (K, K): j is a neighbor of i
-    ang = jnp.arctan2(-d[..., 1], -d[..., 0])  # direction i -> j
-    ang = jnp.where(neigh, ang, jnp.inf)
-    ang_sorted = jnp.sort(ang, axis=1)  # neighbors first, inf-padded
-    cnt = jnp.sum(neigh, axis=1)
-    # circular gaps between consecutive neighbor bearings
-    first = ang_sorted[:, 0]
-    nxt = jnp.concatenate([ang_sorted[:, 1:], jnp.full((K, 1), jnp.inf)], axis=1)
-    gaps = jnp.where(jnp.isfinite(nxt), nxt - ang_sorted, 0.0)
-    idxs = jnp.arange(ang_sorted.shape[1])
-    last_val = jnp.take_along_axis(
-        ang_sorted, jnp.maximum(cnt - 1, 0)[:, None], axis=1
-    )[:, 0]
-    wrap = 2.0 * jnp.pi - (last_val - first)
-    max_gap = jnp.maximum(jnp.max(gaps, axis=1), wrap)
-    boundary = (cnt < 2) | (max_gap > 0.5 * jnp.pi)
-    boundary = boundary & valid
-    return jnp.where(n >= 5, boundary, jnp.zeros((K,), bool))
+    p2 = jnp.concatenate(
+        [positions[:, :2], jnp.zeros((1, 2), positions.dtype)]
+    )
+    v = jnp.concatenate([valid, jnp.zeros((1,), bool)])
+    scale = jnp.max(jnp.where(valid[:, None], jnp.abs(positions[:, :2]), 0.0))
+    tol = 1e-4 * scale
+    blocks = _triple_blocks(K)
+    ar = jnp.arange(K)[None, :]
+
+    def body(carry, tri):
+        cnt, in_kept = carry
+        ii, jj, kk = tri[0], tri[1], tri[2]
+        a, b, c = p2[ii], p2[jj], p2[kk]
+        ab, ac = b - a, c - a
+        d = 2.0 * (ab[:, 0] * ac[:, 1] - ab[:, 1] * ac[:, 0])
+        la, lc = jnp.sum(ab * ab, axis=1), jnp.sum(ac * ac, axis=1)
+        inv = 1.0 / jnp.where(jnp.abs(d) > 1e-12, d, 1.0)
+        ctr = jnp.stack(
+            [
+                a[:, 0] + (ac[:, 1] * la - ab[:, 1] * lc) * inv,
+                a[:, 1] + (ab[:, 0] * lc - ac[:, 0] * la) * inv,
+            ],
+            axis=1,
+        )
+        R = jnp.linalg.norm(a - ctr, axis=1)
+        ok = v[ii] & v[jj] & v[kk] & (jnp.abs(d) > 1e-9)
+        dist = jnp.linalg.norm(
+            ctr[:, None, :] - positions[None, :, :2], axis=-1
+        )
+        inside = (dist < R[:, None] - tol) & valid[None, :]
+        inside = (
+            inside
+            & (ar != ii[:, None])
+            & (ar != jj[:, None])
+            & (ar != kk[:, None])
+        )
+        kept = (ok & (R <= alpha) & ~jnp.any(inside, axis=1)).astype(
+            jnp.float32
+        )
+        oi = jax.nn.one_hot(ii, K, dtype=jnp.float32)
+        oj = jax.nn.one_hot(jj, K, dtype=jnp.float32)
+        ok_ = jax.nn.one_hot(kk, K, dtype=jnp.float32)
+        wi = oi * kept[:, None]
+        wj = oj * kept[:, None]
+        cnt = cnt + wi.T @ oj + wj.T @ ok_ + wi.T @ ok_
+        in_kept = in_kept + ((oi + oj + ok_) * kept[:, None]).sum(axis=0)
+        return (cnt, in_kept), None
+
+    (cnt, in_kept), _ = jax.lax.scan(
+        body,
+        (jnp.zeros((K, K), jnp.float32), jnp.zeros((K,), jnp.float32)),
+        blocks,
+    )
+    bedge = jnp.abs(cnt - 1.0) < 0.25  # edges on exactly one kept triangle
+    boundary = jnp.any(bedge, axis=1) | jnp.any(bedge, axis=0)
+    mask = (boundary | (in_kept < 0.5)) & valid
+    return jnp.where(n >= 5, mask, jnp.zeros((K,), bool))
 
 
 @jax.jit
@@ -249,13 +376,11 @@ def exact_hull_masks(
     """EXACT hull memberships, host-side (scipy qhull + alpha shape).
 
     The reference recomputes pcl::ConvexHull / pcl::ConcaveHull over the
-    keyframe positions every scan (odom.cc:993-1065). Those are K <= 64
-    points of sequential geometry — exactly what should NOT run on the
-    TPU. The replay driver computes these masks on host (overlapped with
-    device compute by the pipelined loop, like the reference's detached
-    threads) and feeds them to :func:`select_submap`; the device
-    approximations below remain the fallback for fully-on-device paths
-    (vmapped sweeps, the multichip dryrun).
+    keyframe positions every scan (odom.cc:993-1065). This host path is
+    the oracle the on-device triple-sweep hulls are measured against and
+    the hulls="exact" replay mode; through the TPU relay its per-chunk
+    pack + fetch costs ~3 ms/scan, which is why the exact DEVICE hulls
+    above are the default.
 
     - convex: qhull vertices (what pcl::ConvexHull returns), empty below
       4 valid keyframes (reference early-returns, odom.cc:999-1001).
@@ -340,10 +465,11 @@ def select_submap(
 ) -> jnp.ndarray:
     """Union submap selection mask over keyframe slots (odom.cc:1215-1283).
 
-    ``cv_mask``/``cc_mask``: EXACT hull memberships from
-    :func:`exact_hull_masks` (host, fed by the replay driver). When absent
-    the on-device approximations are used (see module docstring; bounds
-    measured in tests/test_approximations.py)."""
+    ``cv_mask``/``cc_mask``: hull memberships from
+    :func:`exact_hull_masks` (host, fed by the replay driver in
+    hulls="exact" mode). When absent the exact on-device triple-sweep
+    hulls are computed inline (see module docstring; agreement with the
+    host oracles measured in tests/test_approximations.py)."""
     ds = jnp.linalg.norm(store.positions - current_pos, axis=1)
     sel = _top_k_ties_mask(ds, store.valid, knn)
     cv = (

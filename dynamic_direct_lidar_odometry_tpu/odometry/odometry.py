@@ -124,7 +124,8 @@ def init_state(
 
     p = prep.preprocess(cfg, raw_points, raw_mask)
     covs = covariance.plane_covariances(
-        p.points, p.mask, k=cfg.gicp.s2s.k_correspondences
+        p.points, p.mask, k=cfg.gicp.s2s.k_correspondences,
+        morton_ordered=cfg.preprocessing.voxel_scan.use,
     )
 
     # first keyframe: transformed by T0, voxelized at submap res
@@ -140,7 +141,8 @@ def init_state(
             kf_pts_w, p.mask, cfg.capacity.max_keyframe_points
         )
     kf_covs = covariance.plane_covariances(
-        kf_pts, kf_mask, k=cfg.gicp.s2s.k_correspondences
+        kf_pts, kf_mask, k=cfg.gicp.s2s.k_correspondences,
+        morton_ordered=cfg.preprocessing.voxel_submap.use,
     )
 
     store = kf.empty_store(
@@ -228,7 +230,8 @@ def step(
     else:
         # ---- source covariances, shared by S2S and S2M (odom.cc:765) ----
         src_covs = covariance.plane_covariances(
-            p.points, p.mask, k=cfg.gicp.s2s.k_correspondences
+            p.points, p.mask, k=cfg.gicp.s2s.k_correspondences,
+            morton_ordered=cfg.preprocessing.voxel_scan.use,
         )
         src = (p.points, p.mask, src_covs)
 
@@ -451,7 +454,8 @@ def update_keyframes(
                 pts_in, mask_in, cfg.capacity.max_keyframe_points
             )
         covs = covariance.plane_covariances(
-            pts, mask, k=cfg.gicp.s2s.k_correspondences
+            pts, mask, k=cfg.gicp.s2s.k_correspondences,
+            morton_ordered=cfg.preprocessing.voxel_submap.use,
         )
         return kf.add_keyframe(
             store, jnp.bool_(True), state.pose, state.rotq, pts, mask, covs

@@ -22,12 +22,13 @@ import jax.numpy as jnp
 from dynamic_direct_lidar_odometry_tpu.ops import knn as knn_ops
 
 
-@partial(jax.jit, static_argnames=("k",))
+@partial(jax.jit, static_argnames=("k", "morton_ordered"))
 def plane_covariances(
     points: jnp.ndarray,
     mask: jnp.ndarray,
     k: int = 20,
     neighbor_points: jnp.ndarray | None = None,
+    morton_ordered: bool = False,
 ) -> jnp.ndarray:
     """Compute regularized (N, 3, 3) covariances for a masked cloud.
 
@@ -40,6 +41,14 @@ def plane_covariances(
         instead of ``points`` itself — used by the point-parallel step,
         where each shard computes covariances for its slice of the scan
         against the full (replicated) scan.
+      morton_ordered: the caller PROMISES ``points`` rows are Morton
+        (z-order) sorted — true exactly for ``filters.voxel_downsample``
+        outputs. Gates the TPU window fast path: on a raw-scan-order
+        cloud (``filters.compact``) a +-64-row window spans a single
+        azimuth arc and would yield silently degenerate near-collinear
+        neighborhoods, so callers must assert the ordering explicitly
+        (the producing config's ``voxel_*.use`` flag) instead of the
+        path being inferred.
 
     Returns:
       (N, 3, 3) covariances; invalid points get identity (they are masked
@@ -51,6 +60,7 @@ def plane_covariances(
     impl = os.environ.get("DDLO_KNN_IMPL", "auto")
     if (
         neighbor_points is None
+        and morton_ordered
         and jax.default_backend() == "tpu"
         and impl in ("auto", "window")
     ):
@@ -81,10 +91,10 @@ def _window_self_covariances(
 ) -> jnp.ndarray:
     """Self-neighborhood covariances over a MORTON-WINDOW candidate set.
 
-    The TPU default for the pipeline's self k-NN covariances: every
-    cloud reaching this path is a ``filters.voxel_downsample`` output,
-    whose rows are Morton (z-order) sorted — spatial neighbors sit close
-    in row order. So the k nearest among the 2*half_window+1 sorted-
+    The TPU default for the pipeline's self k-NN covariances: callers
+    assert via ``morton_ordered=True`` that the cloud is a
+    ``filters.voxel_downsample`` output, whose rows are Morton (z-order)
+    sorted — spatial neighbors sit close in row order. So the k nearest among the 2*half_window+1 sorted-
     window rows are taken instead of the k nearest globally: the
     candidate set builds from plain row SHIFTS (no gather, no kernel),
     distances/top-k/moment sums all fuse on the VPU, replacing the
@@ -92,7 +102,7 @@ def _window_self_covariances(
     fused work at 16k points. Approximation error mirrors the lane-class
     kernel's (a neighbor outside the window is replaced by the next
     nearest inside it) — benign for PLANE-regularized covariances;
-    end-to-end ATE cost is certified in ACCURACY_r04.json. Invalid
+    end-to-end ATE cost is certified in ACCURACY_r05.json. Invalid
     (SENTINEL) rows and the wrap-around shift edges lose every top-k
     race by distance, so they never pollute a real neighborhood.
 

@@ -168,9 +168,11 @@ def replay(
     # change on keyframe insertion, and a just-inserted keyframe is
     # always in the knn-nearest set anyway).
     # ``hulls="device"`` skips the host round trip entirely and lets
-    # odometry.step fall back to the on-device approximations
+    # odometry.step compute the exact triple-sweep hulls on device
     # (keyframes.convex_hull_mask / concave_hull_mask) — the fully
-    # device-resident mode for deployments without a host loop.
+    # device-resident mode and the bench default; through the TPU relay
+    # the host pack+fetch costs ~3 ms/scan of pure latency that the
+    # device sweeps avoid.
     def host_hulls(st) -> tuple | None:
         if hulls == "device":
             return None
@@ -437,14 +439,14 @@ def replay(
     if track_log is not None:
         track_log.close()
 
-    # keyframe-store saturation telemetry (the store overwrites its last
-    # slot once full — silent in round 1, now surfaced)
+    # keyframe-store saturation telemetry (at capacity the store evicts
+    # the farthest non-hull keyframe per insert — keyframes.add_keyframe)
     kf_overflow = int(np.asarray(keyframes.overflow_count(state.odom.store)))
     if kf_overflow > 0:
         print(
             f"[ddlo] WARNING: keyframe store saturated — {kf_overflow} "
-            "keyframes overwrote the last slot; raise "
-            "capacity.max_keyframes for this sweep",
+            "inserts evicted the farthest non-hull keyframe; raise "
+            "capacity.max_keyframes if full-sweep coverage is needed",
             file=sys.stderr,
         )
 

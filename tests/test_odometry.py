@@ -195,6 +195,53 @@ def test_gather_submap_capacity_overflow_drops_tail():
     assert int(msk.sum()) == 10  # 16 valid points, 10 kept
 
 
+def _insert_kf(store, pos):
+    P = store.points.shape[1]
+    return kf.add_keyframe(
+        store, jnp.bool_(True), jnp.asarray(pos, jnp.float32),
+        jnp.asarray([1.0, 0, 0, 0]), jnp.zeros((P, 3)),
+        jnp.ones((P,), bool), jnp.broadcast_to(jnp.eye(3), (P, 3, 3)),
+    )
+
+
+def test_keyframe_eviction_preserves_hull_members():
+    """Over-capacity inserts evict the farthest NON-HULL keyframe: the
+    square's corners (convex hull of the traversed region) survive even
+    though they are farther from the current pose than the interior
+    frame (keyframes.add_keyframe eviction policy)."""
+    store = kf.empty_store(5, 4)
+    corners = [
+        [0.0, 0.0, 0.0], [20.0, 0.0, 0.0], [20.0, 20.0, 0.0],
+        [0.0, 20.0, 0.0],
+    ]
+    for c in corners:
+        store = _insert_kf(store, c)
+    store = _insert_kf(store, [10.0, 10.0, 0.0])  # interior, at capacity
+    # insert near corner 0: victim must be the interior frame, not the
+    # far corners (all true hull vertices)
+    store = _insert_kf(store, [1.0, 1.0, 0.0])
+    pos = np.asarray(store.positions)
+    assert int(np.asarray(store.valid).sum()) == 5
+    for c in corners:
+        assert np.any(np.all(np.isclose(pos, c), axis=1)), f"corner {c} evicted"
+    assert np.any(np.all(np.isclose(pos, [1.0, 1.0, 0.0]), axis=1))
+    assert not np.any(np.all(np.isclose(pos, [10.0, 10.0, 0.0]), axis=1))
+    assert int(np.asarray(kf.overflow_count(store))) == 1
+
+
+def test_keyframe_eviction_collinear_slides_window():
+    """When every keyframe is a hull vertex (a straight-line sweep), the
+    policy degrades to a sliding window: the farthest-overall (oldest)
+    frame is evicted, so the store tracks the newest geometry instead of
+    freezing the first capacity-1 slots (the round-4 behavior)."""
+    store = kf.empty_store(4, 4)
+    for i in range(8):
+        store = _insert_kf(store, [float(i), 0.0, 0.0])
+    xs = sorted(np.asarray(store.positions)[:, 0].tolist())
+    assert xs == [4.0, 5.0, 6.0, 7.0], xs
+    assert int(np.asarray(kf.overflow_count(store))) == 4
+
+
 def test_motion_model_guess_stabilizes_fast_rotation():
     """initial_guess_motion=True (constant-velocity S2S seed, new vs the
     reference) tracks a fast constant-rate turn that identity seeding

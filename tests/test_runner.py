@@ -87,6 +87,25 @@ def test_replay_end_to_end(tmp_path):
     assert res.profiler["total"].n == len(seq) - 1
 
 
+def test_replay_device_hulls_matches_exact(tmp_path):
+    """The bench.py headline mode — ``hulls="device"`` (exact on-device
+    triple-sweep hulls, no host round trip) — end-to-end: it must track
+    ground truth AND stay within noise of the ``hulls="exact"`` host
+    path. The only legitimate divergence is hull-refresh staleness (the
+    host masks are one scan late; the device sweeps are fresh)."""
+    seq = _seq(n=8)
+    cfg = _small_cfg(seq.H, seq.W)
+    res_dev = runner.replay(cfg, seq, map_capacity=20_000, hulls="device")
+    res_ex = runner.replay(cfg, seq, map_capacity=20_000, hulls="exact")
+    assert len(res_dev.poses) == len(seq) - 1
+    assert np.all(np.isfinite(res_dev.poses))
+    ate_dev = runner.ate_rmse(res_dev.poses, seq.gt_poses)
+    assert ate_dev < 0.5, f"device-hulls ATE {ate_dev}"
+    d = res_dev.poses - res_ex.poses
+    rmse = float(np.sqrt(np.mean(np.sum(d * d, axis=1))))
+    assert rmse < 5e-3, f"device vs exact hull trajectory RMSE {rmse}"
+
+
 def test_replay_checkpoint_resume(tmp_path):
     seq = _seq(n=6)
     cfg = _small_cfg(seq.H, seq.W)

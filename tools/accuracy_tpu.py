@@ -12,10 +12,14 @@ including exact host hull masks via runner.replay) three times,
   tpu_exact   : TPU, DDLO_NN_IMPL=exact + DDLO_KNN_IMPL=exact
   cpu_exact   : CPU, exact sweeps (the config all accuracy tests run in)
 
-and reports pairwise trajectory ATE plus ATE vs the synthetic ground
-truth. Target (VERDICT r2 #1): ATE(default vs exact) < 1 cm and both
-far under the 5 cm BASELINE.md bar. The reference's own accuracy story
-is exactly its trajectory dumps (odom.cc:704-709).
+plus a fourth leg (tpu_exact_hulls: default NN backends, EXACT host
+hulls) that isolates the device hull approximation — the bench default
+since round 4 — and reports pairwise trajectory ATE plus ATE vs the
+synthetic ground truth. Targets: ATE(default vs exact NN) < 1 cm,
+ATE(device vs exact hulls) < 1 cm, and everything far under the 5 cm
+BASELINE.md bar. The reference's own accuracy story is exactly its
+trajectory dumps (odom.cc:704-709); the hulls mode defaults to "device"
+so the certified configuration IS the bench.py configuration.
 
 Each variant runs in a subprocess because the backend env vars are read
 at trace time; the parent is relay-hardened like bench.py (probe with
@@ -45,12 +49,17 @@ VARIANTS = {
         "platform": "cpu",
         "env": {"DDLO_NN_IMPL": "exact", "DDLO_KNN_IMPL": "exact"},
     },
+    # default TPU backends but EXACT host hulls: paired with tpu_default
+    # (device hulls) this isolates the hull approximation's trajectory
+    # effect — the one knob that changed between BENCH_r03 and BENCH_r04
+    "tpu_exact_hulls": {"platform": "tpu", "env": {}, "hulls": "exact"},
 }
 
 
 def run_child(name: str, n_scans: int, out_npz: str, timeout_s: float,
               hulls: str = "device"):
     spec = VARIANTS[name]
+    hulls = spec.get("hulls", hulls)
     env = dict(os.environ)
     env.update(spec["env"])
     if spec["platform"] == "cpu":
@@ -129,7 +138,7 @@ def pairwise_ate(a, b):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--scans", type=int, default=64)
-    ap.add_argument("--out", default=os.path.join(REPO, "ACCURACY_r04.json"))
+    ap.add_argument("--out", default=os.path.join(REPO, "ACCURACY_r05.json"))
     ap.add_argument("--child", action="store_true")
     ap.add_argument("--reuse", action="store_true",
                     help="skip variants whose .accuracy_runs npz already "
@@ -182,7 +191,7 @@ def main():
         print("[accuracy] relay unavailable; aborting TPU legs")
         return 1
 
-    for name in ("tpu_default", "tpu_exact"):
+    for name in ("tpu_default", "tpu_exact", "tpu_exact_hulls"):
         npz = os.path.join(tmpdir, f"{name}.npz")
         if args.reuse and os.path.exists(npz):
             print(f"[accuracy] reusing {npz}", flush=True)
@@ -213,13 +222,19 @@ def main():
         "ate_exact_tpu_vs_cpu_exact_m": round(
             pairwise_ate(results["tpu_exact"], results["cpu_exact"]), 5
         ),
+        "ate_device_vs_exact_hulls_m": round(
+            pairwise_ate(results["tpu_default"], results["tpu_exact_hulls"]),
+            5,
+        ),
         "bars": {
             "default_vs_exact_lt_m": 0.01,
+            "device_vs_exact_hulls_lt_m": 0.01,
             "vs_gt_lt_m": 0.05,
         },
     }
     report["pass"] = bool(
         report["ate_default_vs_exact_tpu_m"] < 0.01
+        and report["ate_device_vs_exact_hulls_m"] < 0.01
         and all(v < 0.05 for v in report["ate_vs_gt_m"].values())
     )
     with open(args.out, "w") as f:

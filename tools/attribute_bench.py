@@ -81,7 +81,8 @@ def stage_preprocess(cfg, raw_points, raw_mask, spaciousness):
 @partial(jax.jit, static_argnames=("cfg",))
 def stage_covariances(cfg, points, mask):
     return covariance.plane_covariances(
-        points, mask, k=cfg.gicp.s2s.k_correspondences
+        points, mask, k=cfg.gicp.s2s.k_correspondences,
+        morton_ordered=cfg.preprocessing.voxel_scan.use,
     )
 
 

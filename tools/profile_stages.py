@@ -91,6 +91,7 @@ def main():
     covs = timeit(
         "plane_covariances (scan, k=%d)" % k,
         covariance.plane_covariances, p.points, p.mask, k=k, n=5,
+        morton_ordered=cfg.preprocessing.voxel_scan.use,
     )
 
     nn_impl = odometry._nn_impl_from_env()

@@ -230,9 +230,15 @@ def convex_hull_mask(positions: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
         facet = ok & ~near & (
             jnp.all(s <= tol, axis=1) | jnp.all(s >= -tol, axis=1)
         )
-        for idx in (ii, jj, kk):
-            mask = mask.at[jnp.where(facet, idx, K)].set(True, mode="drop")
-        return (mask, any_facet | jnp.any(facet)), None
+        # vertex marking WITHOUT a B-row scatter (TPU scatters are
+        # ~row-serial; the .at[].set form measured ~ms per block): one
+        # one-hot matvec accumulates all three endpoints per facet
+        f = facet.astype(jnp.float32)
+        hits = sum(
+            f @ jax.nn.one_hot(idx, K + 1, dtype=jnp.float32)
+            for idx in (ii, jj, kk)
+        )[:K]
+        return (mask | (hits > 0.5), any_facet | jnp.any(facet)), None
 
     (mask, any_facet), _ = jax.lax.scan(
         body, (jnp.zeros((K,), bool), jnp.zeros((), bool)), blocks
@@ -259,9 +265,12 @@ def convex_hull_mask(positions: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
         edge = ok & (
             jnp.all(s <= tol, axis=1) | jnp.all(s >= -tol, axis=1)
         )
-        for idx in (ii, jj):
-            mask2 = mask2.at[jnp.where(edge, idx, K)].set(True, mode="drop")
-        return mask2, None
+        e = edge.astype(jnp.float32)
+        hits = sum(
+            e @ jax.nn.one_hot(idx, K + 1, dtype=jnp.float32)
+            for idx in (ii, jj)
+        )[:K]
+        return mask2 | (hits > 0.5), None
 
     mask2, _ = jax.lax.scan(body2, jnp.zeros((K,), bool), _pair_blocks(K))
     mask2 = jnp.where(jnp.any(mask2), mask2, valid)

@@ -59,6 +59,17 @@ class OdomState(NamedTuple):
     prev_rel: jnp.ndarray  # (4, 4)
     # Bookkeeping
     scan_count: jnp.ndarray  # () int32
+    # Device-hull cache: the exact on-device hull masks depend only on
+    # (store.positions, store.valid, alpha), the store changes only on
+    # keyframe insertion, and alpha (adaptive_keyframe_thresh) is
+    # piecewise CONSTANT — so recomputing the O(K^3) sweeps only when
+    # ``hull_dirty | (alpha != hull_alpha)`` is EXACT, not an
+    # approximation. The reference recomputes pcl hulls every scan
+    # (odom.cc:993-1065) over inputs that equally only change on insert.
+    hull_cv: jnp.ndarray  # (K,) bool cached convex membership
+    hull_cc: jnp.ndarray  # (K,) bool cached concave membership
+    hull_alpha: jnp.ndarray  # () f32 alpha the cache was built with
+    hull_dirty: jnp.ndarray  # () bool store changed since last build
 
 
 class OdomOutputs(NamedTuple):
@@ -172,6 +183,10 @@ def init_state(
         keyframe_thresh_dist=jnp.float32(cfg.keyframe.thresh_dist),
         prev_rel=jnp.eye(4),
         scan_count=jnp.int32(1),
+        hull_cv=jnp.zeros((cfg.capacity.max_keyframes,), bool),
+        hull_cc=jnp.zeros((cfg.capacity.max_keyframes,), bool),
+        hull_alpha=jnp.float32(-1.0),
+        hull_dirty=jnp.bool_(True),
     )
 
 
@@ -253,11 +268,35 @@ def step(
     T_s2s = se3.compose(state.T_s2s_prev, s2s.T)  # propagateS2S (odom.cc:921-939)
 
     # ---- submap selection + gather (odom.cc:775-784) ----
-    cv_mask, cc_mask = hull_masks if hull_masks is not None else (None, None)
+    alpha = state.keyframe_thresh_dist  # concave-hull alpha (odom.cc:1177)
+    if hull_masks is not None:
+        cv_mask, cc_mask = hull_masks
+        hull_cache = (state.hull_cv, state.hull_cc, state.hull_alpha,
+                      state.hull_dirty)
+    else:
+        # exact on-device hulls, recomputed only when their inputs
+        # changed (see OdomState.hull_* — exact, not an approximation:
+        # the store changes only on keyframe insertion and alpha is
+        # piecewise constant). lax.cond makes unchanged-store scans skip
+        # the O(K^3) sweeps entirely.
+        need = state.hull_dirty | (alpha != state.hull_alpha)
+
+        def build(_):
+            return (
+                kf.convex_hull_mask(state.store.positions, state.store.valid),
+                kf.concave_hull_mask(
+                    state.store.positions, state.store.valid, alpha
+                ),
+            )
+
+        cv_mask, cc_mask = jax.lax.cond(
+            need, build, lambda _: (state.hull_cv, state.hull_cc), None
+        )
+        hull_cache = (cv_mask, cc_mask, alpha, jnp.bool_(False))
     sel = kf.select_submap(
         state.store,
         T_s2s[:3, 3],
-        state.keyframe_thresh_dist,  # concave-hull alpha (odom.cc:1177)
+        alpha,
         cfg.submap.knn,
         cfg.submap.kcv,
         cfg.submap.kcc,
@@ -308,6 +347,10 @@ def step(
         keyframe_thresh_dist=kf_thresh_d,
         prev_rel=s2s.T,
         scan_count=state.scan_count + 1,
+        hull_cv=hull_cache[0],
+        hull_cc=hull_cache[1],
+        hull_alpha=hull_cache[2],
+        hull_dirty=hull_cache[3],
     )
 
     outputs = OdomOutputs(
@@ -462,4 +505,7 @@ def update_keyframes(
         )
 
     store = jax.lax.cond(new_kf, add, lambda s: s, state.store)
-    return state._replace(store=store), new_kf
+    return (
+        state._replace(store=store, hull_dirty=state.hull_dirty | new_kf),
+        new_kf,
+    )

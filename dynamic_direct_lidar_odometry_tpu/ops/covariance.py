@@ -87,50 +87,79 @@ def plane_covariances(
 
 
 def _window_self_covariances(
-    points: jnp.ndarray, k: int, half_window: int = 64
+    points: jnp.ndarray, k: int, block: int = 128
 ) -> jnp.ndarray:
-    """Self-neighborhood covariances over a MORTON-WINDOW candidate set.
+    """Self-neighborhood covariances over a MORTON-BLOCK candidate set.
 
     The TPU default for the pipeline's self k-NN covariances: callers
     assert via ``morton_ordered=True`` that the cloud is a
     ``filters.voxel_downsample`` output, whose rows are Morton (z-order)
-    sorted — spatial neighbors sit close in row order. So the k nearest among the 2*half_window+1 sorted-
-    window rows are taken instead of the k nearest globally: the
-    candidate set builds from plain row SHIFTS (no gather, no kernel),
-    distances/top-k/moment sums all fuse on the VPU, replacing the
-    ~2.5 ms lane-class k-NN kernel + (N, k) gather with ~0.5 ms of
-    fused work at 16k points. Approximation error mirrors the lane-class
-    kernel's (a neighbor outside the window is replaced by the next
-    nearest inside it) — benign for PLANE-regularized covariances;
-    end-to-end ATE cost is certified in ACCURACY_r05.json. Invalid
-    (SENTINEL) rows and the wrap-around shift edges lose every top-k
-    race by distance, so they never pollute a real neighborhood.
+    sorted — spatial neighbors sit close in row order. Each query takes
+    its k nearest among the candidates of its 128-row block plus the two
+    adjacent blocks (window at least +-128 rows — wider than the old
+    +-64 roll-stack, at 3x data redundancy instead of 129x):
 
-    Moments are computed query-centered (y = x - p_q, |y| ~ the
-    neighborhood radius) so the f32 E[yy] - mm subtraction never
-    cancels against |x|^2-sized terms.
+      - candidates (nb, 3B, 3) come from two block-rolls + a concat (no
+        gathers, no 129-copy roll stack);
+      - pairwise distances are ONE batched (B, 3)@(3, 3B) MXU matmul
+        per block (HIGHEST: d2 is a difference of |y|^2-sized terms, the
+        bf16 pass would garble near-neighbor ordering);
+      - selection is the k-th-distance THRESHOLD from lax.top_k values
+        (no (N, k, D) winner-mask compare), moments are two weighted
+        matmuls over precomputed candidate products.
+
+    Everything is block-centered (y = x - block_anchor, |y| ~ block
+    extent) so the f32 E[yy] - mm subtraction never cancels against
+    |x|^2-sized terms. SENTINEL rows sit 1e12 away, so they lose every
+    distance race; blocks that are entirely sentinel produce garbage
+    covariances for rows the caller masks to identity anyway.
+    Approximation error mirrors the lane-class kernel's (a neighbor
+    outside the window is replaced by the next nearest inside it) —
+    benign for PLANE-regularized covariances; end-to-end ATE cost is
+    certified in ACCURACY_r05.json.
     """
-    D = 2 * half_window + 1
-    offs = list(range(-half_window, half_window + 1))
-    # (D, N, 3) candidate stack from row shifts (wrap edges are benign)
-    R = jnp.stack([jnp.roll(points, -d, axis=0) for d in offs])
-    Rc = R - points[None, :, :]  # query-centered
-    d2 = jnp.sum(Rc * Rc, axis=-1)  # (D, N)
-    # k smallest distances per query (self included at offset 0)
-    _, top_i = jax.lax.top_k(-d2.T, k)  # (N, k) window indices
-    win = jnp.arange(D, dtype=top_i.dtype)
-    wmask = jnp.any(
-        top_i[:, :, None] == win[None, None, :], axis=1
-    )  # (N, D) winner mask
-    m = wmask.T.astype(points.dtype)  # (D, N)
+    N = points.shape[0]
+    B = block
+    pad = (-N) % B
+    p = points
+    if pad:
+        p = jnp.concatenate([p, jnp.full((pad, 3), 3.0e12, points.dtype)])
+    nb = p.shape[0] // B
+    q = p.reshape(nb, B, 3)
+    # anchor: row 0 of each block (voxel clouds are front-packed, so it
+    # is valid whenever the block holds any valid row)
+    ctr = q[:, 0, :]
+    yq = q - ctr[:, None, :]
+    c = jnp.concatenate(
+        [jnp.roll(q, 1, axis=0), q, jnp.roll(q, -1, axis=0)], axis=1
+    )  # (nb, 3B, 3)
+    yc = c - ctr[:, None, :]
+    qq = jnp.sum(yq * yq, axis=-1)  # (nb, B)
+    cc = jnp.sum(yc * yc, axis=-1)  # (nb, 3B)
+    cross = jnp.einsum(
+        "nbi,nci->nbc", yq, yc, precision=jax.lax.Precision.HIGHEST
+    )
+    d2 = qq[:, :, None] + cc[:, None, :] - 2.0 * cross  # (nb, B, 3B)
+    # k-th smallest distance per query -> threshold weights (ties may
+    # push the count past k; normalize by the actual count)
+    neg_top, _ = jax.lax.top_k(-d2, k)
+    rk = -neg_top[..., k - 1]
+    w = (d2 <= rk[..., None]).astype(points.dtype)
+    cnt = jnp.maximum(jnp.sum(w, axis=-1), 1.0)  # (nb, B)
     sum_y = jnp.einsum(
-        "dn,dni->ni", m, Rc, precision=jax.lax.Precision.HIGHEST
+        "nbc,nci->nbi", w, yc, precision=jax.lax.Precision.HIGHEST
     )
+    # candidate second moments once per candidate, then one weighted
+    # matmul: (nb, B, 3B) @ (nb, 3B, 9)
+    yy = (yc[:, :, :, None] * yc[:, :, None, :]).reshape(nb, 3 * B, 9)
     sum_yy = jnp.einsum(
-        "dn,dni,dnj->nij", m, Rc, Rc, precision=jax.lax.Precision.HIGHEST
+        "nbc,ncj->nbj", w, yy, precision=jax.lax.Precision.HIGHEST
+    ).reshape(nb, B, 3, 3)
+    mean_y = sum_y / cnt[..., None]
+    cov = sum_yy / cnt[..., None, None] - (
+        mean_y[..., :, None] * mean_y[..., None, :]
     )
-    mean_y = sum_y / k
-    return sum_yy / k - mean_y[:, :, None] * mean_y[:, None, :]
+    return cov.reshape(nb * B, 3, 3)[:N]
 
 
 def smallest_eigvec_sym3(A: jnp.ndarray) -> jnp.ndarray:

@@ -172,7 +172,10 @@ def run_timed():
     # and tools/profile_stages.py, so the Hz and the ATE pin the same
     # config): dense-town spiral, keyframe inserts fire throughout, >= 20
     # active keyframes inside the timed window
-    K = 8  # scans per dispatch (pipeline.step_chunk)
+    # scans per dispatch (pipeline.step_chunk): amortizes the ~5-15 ms
+    # relay enqueue latency per chunk; with device hulls there is no
+    # host-refresh staleness constraint on K
+    K = int(os.environ.get("DDLO_BENCH_CHUNK", "8"))
     seq = dataset.steady_state_sequence(n_scans=64)
 
     def chunk_args(lo):  # scans [lo, lo+K) as stacked device arrays

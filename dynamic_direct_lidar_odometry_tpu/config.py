@@ -511,6 +511,13 @@ def bench_config(**overrides: Any) -> DDLOConfig:
             # the scene)
             max_objects=64,
             max_tracks=64,
+            # candidate-root budget for the fused segment gates: the
+            # dense (candidates, H*W) stat reductions scale linearly
+            # with this; 128 = 2x the object slots still satisfies the
+            # equivalence condition (a feasible object is lost only if
+            # 128 LARGER components pass the min-size gate first — the
+            # steady-state town peaks at ~40)
+            segment_candidates=128,
         ),
     )
 

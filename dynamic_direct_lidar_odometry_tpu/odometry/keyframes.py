@@ -190,15 +190,101 @@ def convex_hull_mask(positions: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
     A triple of points spans a hull facet iff every other point lies on
     one side of its plane; every hull vertex is an endpoint of some
     facet. O(K^3) triples x K support points is ~2.7M f32 compares at
-    K=64 — one tiny matmul + a VPU reduction, microseconds on TPU, so
-    the reference's recompute-every-scan hull (computeConvexHull,
-    odom.cc:993-1028) runs fully on device with no host in the loop.
-    Mirrors the reference's early-returns: empty below 4 valid
-    keyframes; degenerate (coplanar, no facet found) falls back to
-    all-valid like the host path's QhullError branch. f32 plane
-    tolerance over-marks points within ~1e-5*scale of a facet plane
-    (measured precision ~0.99 at recall 1.0) — a benign superset for
-    submap selection."""
+    K=64 — one small matmul + VPU reductions, ~0.3 ms on a v5e — so the
+    reference's recompute-every-scan hull (computeConvexHull,
+    odom.cc:993-1028) runs fully on device with no host in the loop
+    (and odometry.step additionally caches the result until a keyframe
+    insert). Mirrors the reference's early-returns: empty below 4 valid
+    keyframes; exactly-coplanar sets (no facet) fall back to an exact
+    2D XY edge test, and collinear-in-XY sets to all-valid like the
+    host path's QhullError branch. f32 plane tolerance over-marks
+    points within ~1e-5*scale of a facet plane (measured precision
+    ~0.99 at recall 1.0) — a benign superset for submap selection.
+
+    K <= 96 uses the DENSE (K,K,K) form — no triple index gathers, no
+    lax.scan, support max/min reduced straight out of the (K,K,K,K)
+    einsum (TPU-measured 8x faster than the blocked triple list).
+    Larger capacities fall back to _TRIPLE_BLOCK-chunked sweeps to
+    bound memory (the dense form is O(K^4) floats).
+    """
+    K = positions.shape[0]
+    if K <= 96:
+        return _convex_hull_mask_dense(positions, valid)
+    return _convex_hull_mask_blocked(positions, valid)
+
+
+def _convex_hull_mask_dense(
+    positions: jnp.ndarray, valid: jnp.ndarray
+) -> jnp.ndarray:
+    K = positions.shape[0]
+    p = positions
+    v = valid
+    n_valid = jnp.sum(v)
+    scale = jnp.max(jnp.where(v[:, None], jnp.abs(p), 0.0))
+    # UNNORMALIZED facet normals; the plane tolerance scales by |n|
+    d1 = p[:, None, :] - p[None, :, :]
+    n = jnp.cross(d1[:, :, None, :], d1[:, None, :, :])  # (K,K,K,3)
+    nn = jnp.sqrt(jnp.sum(n * n, axis=-1))
+    ok = (
+        v[:, None, None]
+        & v[None, :, None]
+        & v[None, None, :]
+        & (nn > 1e-6 * scale * scale)
+    )
+    # support values against every point, reduced immediately: the
+    # (K,K,K,K) tensor never outlives the max/min pair. HIGHEST: the
+    # side test resolves 1e-5*scale (CLAUDE.md numerics).
+    sp = jnp.einsum(
+        "ijkd,ld->ijkl", n, p, precision=jax.lax.Precision.HIGHEST
+    )
+    off = jnp.einsum(
+        "ijkd,id->ijk", n, p, precision=jax.lax.Precision.HIGHEST
+    )
+    smax = jnp.max(jnp.where(v[None, None, None, :], sp, -3e37), axis=-1)
+    smin = jnp.min(jnp.where(v[None, None, None, :], sp, 3e37), axis=-1)
+    tol = 1e-5 * scale * jnp.maximum(nn, 1e-30)
+    upper = smax - off
+    lower = smin - off
+    # a REAL facet has support strictly beyond tol on exactly one side;
+    # "near" (whole set within tol of the plane — a flat set) must not
+    # count, or every coplanar triple would mark everything
+    near = (upper <= tol) & (lower >= -tol)
+    facet = ok & ~near & ((upper <= tol) | (lower >= -tol))
+    mask = (
+        jnp.any(facet, axis=(1, 2))
+        | jnp.any(facet, axis=(0, 2))
+        | jnp.any(facet, axis=(0, 1))
+    )
+    any_facet = jnp.any(facet)
+
+    # exactly-coplanar fallback: exact 2D XY edge test, dense (K,K)
+    # pairs. Collinear-in-XY sets mark every pair -> all-valid.
+    e = -d1[..., :2]  # e[i,j] = p_j - p_i (XY)
+    n2 = jnp.stack([-e[..., 1], e[..., 0]], axis=-1)  # (K,K,2)
+    nn2 = jnp.sqrt(jnp.sum(n2 * n2, axis=-1))
+    ok2 = v[:, None] & v[None, :] & (nn2 > 1e-9)
+    sp2 = jnp.einsum(
+        "ijd,ld->ijl", n2, p[:, :2], precision=jax.lax.Precision.HIGHEST
+    )
+    off2 = jnp.einsum(
+        "ijd,id->ij", n2, p[:, :2], precision=jax.lax.Precision.HIGHEST
+    )
+    tol2 = 1e-5 * scale * jnp.maximum(nn2, 1e-30)
+    smax2 = jnp.max(jnp.where(v[None, None, :], sp2, -3e37), axis=-1)
+    smin2 = jnp.min(jnp.where(v[None, None, :], sp2, 3e37), axis=-1)
+    edge = ok2 & (
+        ((smax2 - off2) <= tol2) | ((smin2 - off2) >= -tol2)
+    )
+    mask2 = jnp.any(edge, axis=1) | jnp.any(edge, axis=0)
+    mask2 = jnp.where(jnp.any(mask2), mask2, valid)
+
+    mask = jnp.where(any_facet, mask, mask2) & valid
+    return jnp.where(n_valid >= 4, mask, jnp.zeros((K,), bool))
+
+
+def _convex_hull_mask_blocked(
+    positions: jnp.ndarray, valid: jnp.ndarray
+) -> jnp.ndarray:
     K = positions.shape[0]
     n = jnp.sum(valid)
     p = jnp.concatenate([positions, jnp.zeros((1, 3), positions.dtype)])
@@ -221,18 +307,12 @@ def convex_hull_mask(positions: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
             nrm, positions.T, precision=jax.lax.Precision.HIGHEST
         ) - jnp.sum(nrm * a, axis=1, keepdims=True)
         s = jnp.where(valid[None, :], s, 0.0)
-        # a REAL facet has support strictly beyond tol on exactly one
-        # side; triples with the whole set within tol of their plane
-        # (the set is flat) must not count, or every coplanar triple
-        # would mark everything — flat sets fall through to the 2D
-        # edge test below instead
         near = jnp.all(jnp.abs(s) <= tol, axis=1)
         facet = ok & ~near & (
             jnp.all(s <= tol, axis=1) | jnp.all(s >= -tol, axis=1)
         )
         # vertex marking WITHOUT a B-row scatter (TPU scatters are
-        # ~row-serial; the .at[].set form measured ~ms per block): one
-        # one-hot matvec accumulates all three endpoints per facet
+        # ~row-serial): one one-hot matvec per endpoint slot
         f = facet.astype(jnp.float32)
         hits = sum(
             f @ jax.nn.one_hot(idx, K + 1, dtype=jnp.float32)
@@ -244,12 +324,6 @@ def convex_hull_mask(positions: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
         body, (jnp.zeros((K,), bool), jnp.zeros((), bool)), blocks
     )
 
-    # Exactly-coplanar sets (flat synthetic trajectories) have no 3D
-    # facet; scipy raises QhullError there and the host falls back to
-    # all-valid, but the 2D XY edge test (a pair (i,j) spans a hull edge
-    # iff every other point is on one side of its line) recovers the
-    # true planar hull for the common ground-plane case. Collinear-in-XY
-    # sets mark every pair — degrading to the all-valid fallback.
     def body2(mask2, pr):
         ii, jj = pr[0], pr[1]
         a, b = p[ii, :2], p[jj, :2]
@@ -290,10 +364,89 @@ def concave_hull_mask(
     (= Delaunay, general position) AND its circumradius <= alpha;
     boundary points are the endpoints of edges on exactly ONE kept
     triangle, plus points in no kept triangle — the same rule as the
-    host oracle (:func:`exact_hull_masks`). Per-block edge counting is
-    three one-hot (B,K)@(B,K) matmuls (no scatters). Empty below 5
-    valid keyframes. Measured vs the oracle: recall 1.0, precision
-    ~0.99 (f32 circumcircle tolerance on near-cocircular quadruples)."""
+    host oracle (:func:`exact_hull_masks`). Empty below 5 valid
+    keyframes. Measured vs the oracle: recall 1.0, precision ~0.99
+    (f32 circumcircle tolerance on near-cocircular quadruples).
+
+    K <= 96 uses the DENSE (K,K,K) form (~0.3 ms on a v5e): the
+    emptiness test reduces the (K,K,K,K) distance einsum immediately,
+    and the on-circle triangle corners are excluded AUTOMATICALLY (they
+    sit at distance R > R - tol), so no index-exclusion masks are
+    needed; ordered-triple edge counts are exactly 2x the unordered
+    ones. Larger capacities fall back to the _TRIPLE_BLOCK-chunked
+    sweep with one-hot edge-count matmuls (no scatters either way).
+    """
+    K = positions.shape[0]
+    if K <= 96:
+        return _concave_hull_mask_dense(positions, valid, alpha)
+    return _concave_hull_mask_blocked(positions, valid, alpha)
+
+
+def _concave_hull_mask_dense(
+    positions: jnp.ndarray, valid: jnp.ndarray, alpha: jnp.ndarray
+) -> jnp.ndarray:
+    K = positions.shape[0]
+    p2 = positions[:, :2]
+    v = valid
+    scale = jnp.max(jnp.where(v[:, None], jnp.abs(p2), 0.0))
+    tol = 1e-4 * scale
+    ab = p2[None, :, :] - p2[:, None, :]  # ab[i,j] = p_j - p_i
+    la = jnp.sum(ab * ab, axis=-1)  # (K,K) squared edge lengths
+    dxy = 2.0 * (
+        ab[:, :, None, 0] * ab[:, None, :, 1]
+        - ab[:, :, None, 1] * ab[:, None, :, 0]
+    )  # = 4 * signed_area(i,j,k)
+    # circumradius from EDGE LENGTHS only (R = |ab||ac||bc| / (4 area),
+    # area = |dxy| / 4) — no circumcenter, no cancellation
+    R = jnp.sqrt(
+        la[:, :, None] * la[:, None, :] * la.T[None, :, :]
+    ) / jnp.maximum(jnp.abs(dxy), 1e-12)
+    ok = (
+        v[:, None, None]
+        & v[None, :, None]
+        & v[None, None, :]
+        & (jnp.abs(dxy) > 1e-9)
+    )
+    # emptiness via the classic inCircle DETERMINANT (differences first,
+    # no circumcenter): with dx/dy/q = p_* - p_l and q = dx^2 + dy^2,
+    # det * sign(dxy) = |dxy| (R^2 - |p_l - ctr|^2) / 2, so
+    # "l inside by more than tol" (d < R - tol) becomes
+    # det * sign(dxy) > |dxy| (2 R tol - tol^2) / 2 — far more stable
+    # under jit FMA/reassociation than the center-expansion form (which
+    # measurably flipped near-degenerate triangles under fusion).
+    dx = p2[:, None, 0] - p2[None, :, 0]  # (K, K): [m, l] = p_m - p_l
+    dy = p2[:, None, 1] - p2[None, :, 1]
+    q = dx * dx + dy * dy
+    m1 = dy[:, None, :] * q[None, :, :] - q[:, None, :] * dy[None, :, :]
+    m2 = dx[:, None, :] * q[None, :, :] - q[:, None, :] * dx[None, :, :]
+    m3 = dx[:, None, :] * dy[None, :, :] - dy[:, None, :] * dx[None, :, :]
+    # det[i,j,k,l] = dx[i,l]*m1[j,k,l] - dy[i,l]*m2[j,k,l] + q[i,l]*m3[j,k,l]
+    det = (
+        dx[:, None, None, :] * m1[None, :, :, :]
+        - dy[:, None, None, :] * m2[None, :, :, :]
+        + q[:, None, None, :] * m3[None, :, :, :]
+    )
+    sgn = jnp.sign(dxy)
+    thr = jnp.abs(dxy) * jnp.maximum(2.0 * R * tol - tol * tol, 0.0) * 0.5
+    inside = (det * sgn[..., None] > thr[..., None]) & v[None, None, None, :]
+    kept = ok & (R <= alpha) & ~jnp.any(inside, axis=-1)
+    # ordered-triple edge counts are exactly 2x the unordered counts
+    E = jnp.sum(kept.astype(jnp.float32), axis=0)  # (K,K)
+    edge_cnt = (E + E.T) * 0.5
+    bedge = jnp.abs(edge_cnt - 1.0) < 0.25
+    in_kept = (
+        jnp.any(kept, axis=(1, 2))
+        | jnp.any(kept, axis=(0, 2))
+        | jnp.any(kept, axis=(0, 1))
+    )
+    boundary = (jnp.any(bedge, axis=1) | ~in_kept) & v
+    n = jnp.sum(v)
+    return jnp.where(n >= 5, boundary, jnp.zeros((K,), bool))
+
+
+def _concave_hull_mask_blocked(
+    positions: jnp.ndarray, valid: jnp.ndarray, alpha: jnp.ndarray
+) -> jnp.ndarray:
     K = positions.shape[0]
     n = jnp.sum(valid)
     p2 = jnp.concatenate(

@@ -133,10 +133,15 @@ def point_parallel_pipeline_step(cfg: DDLOConfig, mesh: Mesh):
     covariances/residuals all-gathered — odometry.step point-parallel
     mode).
 
-    This is the single-stream LATENCY scale axis: the reference bounds
-    per-scan cost with OpenMP threads over points
-    (nano_gicp_impl.hpp:249,292); here the same point axis spans chips
-    over ICI. Call like :func:`batched_pipeline_step`.
+    The INTENDED single-stream latency scale axis (the reference bounds
+    per-scan cost with OpenMP threads over points,
+    nano_gicp_impl.hpp:249,292; here the same point axis spans chips
+    over ICI) — but note its benefit is UNPROVEN on real hardware: the
+    only measurable rig (2-core-host virtual mesh, SCALING_r04) shows
+    1.2x at pt=2 and a 0.75x slowdown at pt=4, so until a multi-chip
+    slice exists this is a correctness-proven mechanism, not a
+    demonstrated speedup (see README "pt (single-stream)"). Call like
+    :func:`batched_pipeline_step`.
     """
     pt_size = mesh.shape[PT_AXIS]
     if cfg.capacity.max_points % pt_size != 0:

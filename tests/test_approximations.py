@@ -283,3 +283,41 @@ def test_knn_approx_covariance_drift_16k():
         zip(np.asarray(idx_apx), np.asarray(idx_pruned))
     ]) / k
     assert same.mean() > 0.999, same.mean()
+
+
+def test_hull_dense_blocked_equivalence():
+    """convex/concave_hull_mask dispatch to a dense (K,K,K) form at
+    K <= 96 and a memory-bounded blocked sweep above; both must compute
+    the same masks (same tolerances, same degenerate fallbacks)."""
+    for seed in range(8):
+        rng = np.random.default_rng(seed)
+        K = 48
+        pos = jnp.asarray(rng.uniform(-20, 20, (K, 3)).astype(np.float32))
+        nv = int(rng.integers(6, K + 1))
+        v = jnp.asarray(np.arange(K) < nv)
+        al = jnp.float32(rng.uniform(3, 12))
+        np.testing.assert_array_equal(
+            np.asarray(kf._convex_hull_mask_dense(pos, v)),
+            np.asarray(kf._convex_hull_mask_blocked(pos, v)),
+        )
+        np.testing.assert_array_equal(
+            np.asarray(kf._concave_hull_mask_dense(pos, v, al)),
+            np.asarray(kf._concave_hull_mask_blocked(pos, v, al)),
+        )
+    # coplanar (square + interior) and collinear degenerate fallbacks
+    sq = jnp.asarray(np.array(
+        [[0, 0, 0], [4, 0, 0], [4, 4, 0], [0, 4, 0], [2, 2, 0]], np.float32
+    ))
+    v5 = jnp.ones(5, bool)
+    np.testing.assert_array_equal(
+        np.asarray(kf._convex_hull_mask_dense(sq, v5)),
+        np.asarray(kf._convex_hull_mask_blocked(sq, v5)),
+    )
+    line = jnp.asarray(
+        np.stack([np.arange(6), np.zeros(6), np.zeros(6)], 1).astype(np.float32)
+    )
+    v6 = jnp.ones(6, bool)
+    np.testing.assert_array_equal(
+        np.asarray(kf._convex_hull_mask_dense(line, v6)),
+        np.asarray(kf._convex_hull_mask_blocked(line, v6)),
+    )

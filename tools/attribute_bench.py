@@ -19,7 +19,7 @@ Three measurements per run:
 
 The trajectory is advanced by the authoritative ``pipeline.step`` (the
 probes are pure), so the attribution rides exactly the state sequence
-the bench rides. Writes ATTRIBUTION_r04.json and prints the table.
+the bench rides. Writes ATTRIBUTION_r05.json and prints the table.
 
 Run on the real chip:  python -u tools/attribute_bench.py
 """
@@ -199,9 +199,10 @@ def main():
     print(f"backend: {jax.default_backend()}  scans: {len(scans)}",
           flush=True)
 
-    # mirror bench.py's hull mode: default "device" (no host round trip,
-    # on-device hull approximations inside the step), "exact" restores
-    # the per-chunk host qhull refresh
+    # mirror bench.py's hull mode: default "device" (no host round trip;
+    # the EXACT on-device hull sweeps run inside the step, cached until
+    # a keyframe insert), "exact" restores the per-chunk host qhull
+    # refresh
     hulls_mode = os.environ.get("DDLO_BENCH_HULLS", "device")
 
     def host_hulls(st):
@@ -325,7 +326,13 @@ def main():
             "s2s_align", stage_s2s, cfg, p.points, p.mask, covs,
             st.prev_points, st.prev_mask, st.prev_covs, guess, st.T_s2s_prev,
         )
-        cvm, ccm = hulls if hulls is not None else (None, None)
+        if hulls is not None:
+            cvm, ccm = hulls
+        else:
+            # ordinary scans consume the CACHED device-hull masks
+            # (odometry.step only rebuilds them on keyframe insert);
+            # probe the common path, not a per-rep O(K^3) rebuild
+            cvm, ccm = st.hull_cv, st.hull_cc
         sub_pts, sub_mask, sub_covs = probe(
             "submap_gather", stage_submap, cfg, st.store, T_s2s[:3, 3],
             st.keyframe_thresh_dist, cvm, ccm,
@@ -417,23 +424,27 @@ def main():
 
     add = np.array([r["kf_added"] for r in rows])
     table = {}
-    # MEDIANS are the number of record: the relay sporadically stalls a
-    # dispatch for hundreds of ms (a handful of scans per run), which
-    # destroys means but leaves medians intact.
-    print(f"\n{'stage':<20}{'median':>8}{'mean':>8}{'add-med':>10}"
+    # MEDIANS ONLY: the relay sporadically stalls a dispatch for
+    # hundreds of ms (a handful of scans per run) and the per-scan
+    # noop-latency calibration subtracts a stall-contaminated baseline,
+    # so per-scan values have heavy two-sided outliers — means are
+    # meaningless here (round-4 shipped negative ones) and are
+    # deliberately not reported. p90 is included as the honest spread
+    # indicator instead.
+    print(f"\n{'stage':<20}{'median':>8}{'p90':>8}{'add-med':>10}"
           f"{'noadd-med':>10}")
     for s in STAGES + ["noop_dispatch", "stage_sum", "whole_step"]:
         v = col(s)
         table[s] = {
             "median_ms": round(float(np.median(v)), 2),
-            "mean_ms": round(float(v.mean()), 2),
+            "p90_ms": round(float(np.quantile(v, 0.9)), 2),
             "add_median_ms": round(float(np.median(v[add])), 2)
             if add.any() else None,
             "noadd_median_ms": round(float(np.median(v[~add])), 2)
             if (~add).any() else None,
         }
         t = table[s]
-        print(f"{s:<20}{t['median_ms']:>8}{t['mean_ms']:>8}"
+        print(f"{s:<20}{t['median_ms']:>8}{t['p90_ms']:>8}"
               f"{t['add_median_ms'] or 0:>10}{t['noadd_median_ms'] or 0:>10}")
 
     sum_mean = table["stage_sum"]["median_ms"]
@@ -442,6 +453,8 @@ def main():
         "unit": "ms/scan, steady-state bench trajectory (64x2048, "
                 f"{int(col('num_keyframes')[-1])} keyframes at end, "
                 f"{len(rows)} timed scans)",
+        "note": "medians only: relay stalls make per-scan means "
+                "meaningless (see table comment); p90 shows spread",
         "measured_chunked_ms": round(measured_chunked_ms, 2),
         "measured_chunked_hz": round(1e3 / measured_chunked_ms, 2),
         "whole_step_median_ms": whole_mean,
@@ -468,7 +481,7 @@ def main():
              for k, v in r.items()} for r in rows
         ],
     }
-    out_path = os.path.join(REPO, "ATTRIBUTION_r04.json")
+    out_path = os.path.join(REPO, "ATTRIBUTION_r05.json")
     with open(out_path, "w") as f:
         json.dump(result, f, indent=1)
     print(f"\nchunked {measured_chunked_ms:.1f} ms/scan | whole-step "

@@ -473,7 +473,10 @@ def update_keyframes(
 
     def add(store):
         pts_in, mask_in = world_points, world_mask
-        if refilter:
+        if refilter and not (
+            cfg.preprocessing.voxel_scan.use
+            and cfg.preprocessing.voxel_submap.use
+        ):
             # re-filter at scan resolution (odom.cc:901-918), conditionally
             if cfg.preprocessing.voxel_scan.use:
                 pts_in, mask_in = filters.voxel_downsample(
@@ -485,6 +488,17 @@ def update_keyframes(
                 pts_in, mask_in = filters.compact(
                     pts_in, mask_in, cfg.capacity.max_points
                 )
+        # When BOTH voxel passes are enabled, the scan-res re-filter
+        # output feeds ONLY this submap-res voxel (round 4 moved the
+        # re-filter here because it has no other consumer), so the two
+        # sequential 131k voxel passes collapse into ONE direct pass at
+        # submap res. Deviation from the reference's double filter
+        # (odom.cc:901-918 then 1129-1154): per-0.5m-voxel centroids
+        # are computed from raw points instead of scan-res centroids —
+        # a sub-voxel weighting difference inside each submap cell,
+        # certified trajectory-neutral end-to-end by ACCURACY_r05.json.
+        # Saves a full 131k Morton sort + segment reduction per
+        # keyframe insert (~2-4 ms on every add scan).
         if cfg.preprocessing.voxel_submap.use:
             pts, mask = filters.voxel_downsample(
                 pts_in,

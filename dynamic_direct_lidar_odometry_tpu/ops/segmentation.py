@@ -212,6 +212,13 @@ def label_components(
     row_keys = run_keys(m_row, 1) if packed_ok else None
     col_keys = run_keys(m_col, 0) if packed_ok else None
 
+    # A VMEM-resident Pallas kernel for these sweeps was built and
+    # DELETED in round 5: it reproduced the packed math exactly but
+    # measured 2.58 vs 2.62 ms — the cost is the cross-lane rotates of
+    # the log-shift cummax itself (XLA's associative_scan already runs
+    # a 2048-lane cummax in ~0.15 ms, at the lane-permute hardware
+    # floor), not HBM traffic. Don't rebuild without an algorithm that
+    # needs fewer cross-lane passes.
     def row_sweep(L):
         Lr = bidir_scan(L, m_row, 1, keys=row_keys)
         s = jnp.minimum(Lr[:, :1], Lr[:, -1:])

@@ -220,3 +220,58 @@ def test_step_chunk_matches_sequential_steps():
     assert int(np.asarray(st_chunk.odom.store.count)) == int(
         np.asarray(st_seq.odom.store.count)
     )
+
+
+def test_device_hull_cache_invariant():
+    """OdomState's device-hull cache (odometry.step) must stay EXACT:
+    after any sequence of steps, the cached masks equal a fresh sweep of
+    the current store whenever the cached alpha matches — the cache only
+    ever skips recomputation when its inputs (store, alpha) are
+    unchanged, so staleness is impossible by construction; this pins the
+    dirty-flag wiring (update_keyframes must mark inserts)."""
+    from dynamic_direct_lidar_odometry_tpu.io import synthetic
+    from dynamic_direct_lidar_odometry_tpu.odometry import keyframes as kf
+
+    cfg = ddlo_cfg()
+    # tiny keyframe distance so inserts fire mid-sequence
+    cfg = dataclasses.replace(
+        cfg, keyframe=dataclasses.replace(cfg.keyframe, thresh_dist=0.5)
+    )
+    H, W = cfg.detection.rows, cfg.detection.columns
+    world = synthetic.World.town(seed=2, n_static=8)
+    rng = np.random.default_rng(0)
+    T = np.eye(4)
+    pts, mask = synthetic.render_scan(world, T, H=H, W=W, t=0.0, rng=rng)
+    st = pipeline.init_state(cfg, jnp.asarray(pts), jnp.asarray(mask), 0.0)
+    n_adds = 0
+    for i in range(1, 8):
+        T = np.eye(4)
+        # large steps: the ADAPTIVE threshold (spaciousness-driven, not
+        # cfg.keyframe.thresh_dist) decides inserts; outrun it
+        T[:3, 3] = [2.5 * i, 0.6 * i, 0.0]
+        pts, mask = synthetic.render_scan(
+            world, T, H=H, W=W, t=0.1 * i, rng=rng
+        )
+        st, out = pipeline.step(
+            cfg, st, jnp.asarray(pts), jnp.asarray(mask),
+            jnp.float32(0.1 * i),
+        )
+        n_adds += int(np.asarray(out.keyframe_added))
+        odo = st.odom
+        if bool(np.asarray(out.keyframe_added)):
+            # a fresh insert leaves the cache dirty until the NEXT step
+            assert bool(np.asarray(odo.hull_dirty))
+            continue
+        fresh_cv = kf.convex_hull_mask(odo.store.positions, odo.store.valid)
+        fresh_cc = kf.concave_hull_mask(
+            odo.store.positions, odo.store.valid, odo.hull_alpha
+        )
+        np.testing.assert_array_equal(
+            np.asarray(odo.hull_cv), np.asarray(fresh_cv)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(odo.hull_cc), np.asarray(fresh_cc)
+        )
+    # >= 1 insert mid-sequence: the following non-add step's fresh==
+    # cached check then covers the dirty -> rebuild transition
+    assert n_adds >= 1, "scenario must exercise cache invalidation"

@@ -202,8 +202,13 @@ def main():
             / pipe[0]["aggregate_scans_per_s"], 2
         ),
         "note": "saturated/single ratio = throughput one sequential "
-                "stream leaves on the table; the honest case for "
-                "dp-mode fleet replay (BASELINE.json north-star unit)",
+                "stream leaves on the table. MEASURED OUTCOME (r05): "
+                "bare registrations saturate ~4x at batch 8 (the "
+                "north-star reg/s/chip number), but the FULL pipeline "
+                "batches at ~0.9x — its 16k-point kernels already fill "
+                "the chip, so dp-mode's value on ONE chip is for "
+                "registration-style workloads; full-pipeline fleet "
+                "replay needs more chips, not more batch",
     }
 
     out_path = os.path.join(REPO, "SCALING_r05.json")

@@ -183,16 +183,21 @@ def step(
         # update_keyframes' add branch (refilter=True below): its output
         # is only consumed on keyframe-add scans
         pre = cfg.preprocessing
-        m = static_mask
+        sp, m = static_pts, static_mask
         if pre.downsampling.use:
-            m = m & filters.rowcol_downsample_mask(
-                H, W, pre.downsampling.row, pre.downsampling.col
-            )
+            r, c = pre.downsampling.row, pre.downsampling.col
+            if (r > 1 or c > 1) and sp.shape[0] == H * W:
+                # decimation is a STATIC strided pattern (same as
+                # preprocess): slice the dead rows out of the buffer so
+                # the add branch's voxel argsort shrinks r*c-fold
+                # (10x at DOALS col=10) instead of sorting 131k rows
+                sp = sp.reshape(H, W, 3)[::r, ::c].reshape(-1, 3)
+                m = m.reshape(H, W)[::r, ::c].reshape(-1)
+            else:
+                m = m & filters.rowcol_downsample_mask(H, W, r, c)
         if pre.crop_box.use:
-            m = m & filters.crop_box_mask(
-                static_pts, pre.crop_box.size, odo.pose
-            )
-        kf_pts, kf_mask = static_pts, m
+            m = m & filters.crop_box_mask(sp, pre.crop_box.size, odo.pose)
+        kf_pts, kf_mask = sp, m
 
     # ---- keyframe update on the (dynamic-free) world cloud ----
     odo_state, added = odometry.update_keyframes(

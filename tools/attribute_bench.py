@@ -162,14 +162,17 @@ def stage_static_mask(cfg, trk_state, pixel_slot, point_index, ground_img,
     static_mask = raw_mask & ~non_static
     static_pts = jnp.where(static_mask[:, None], seg_world, SENTINEL)
     pre = cfg.preprocessing
-    m = static_mask
+    sp, m = static_pts, static_mask
     if pre.downsampling.use:
-        m = m & filters.rowcol_downsample_mask(
-            H, W, pre.downsampling.row, pre.downsampling.col
-        )
+        r, c = pre.downsampling.row, pre.downsampling.col
+        if (r > 1 or c > 1) and sp.shape[0] == H * W:
+            sp = sp.reshape(H, W, 3)[::r, ::c].reshape(-1, 3)
+            m = m.reshape(H, W)[::r, ::c].reshape(-1)
+        else:
+            m = m & filters.rowcol_downsample_mask(H, W, r, c)
     if pre.crop_box.use:
-        m = m & filters.crop_box_mask(static_pts, pre.crop_box.size, pose)
-    return static_pts, m
+        m = m & filters.crop_box_mask(sp, pre.crop_box.size, pose)
+    return sp, m
 
 
 @partial(jax.jit, static_argnames=("cfg",))

@@ -201,14 +201,15 @@ def convex_hull_mask(positions: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
     points within ~1e-5*scale of a facet plane (measured precision
     ~0.99 at recall 1.0) — a benign superset for submap selection.
 
-    K <= 96 uses the DENSE (K,K,K) form — no triple index gathers, no
+    K <= 64 uses the DENSE (K,K,K) form — no triple index gathers, no
     lax.scan, support max/min reduced straight out of the (K,K,K,K)
-    einsum (TPU-measured 8x faster than the blocked triple list).
-    Larger capacities fall back to _TRIPLE_BLOCK-chunked sweeps to
-    bound memory (the dense form is O(K^4) floats).
+    einsum (TPU-measured 8x faster than the blocked triple list; the
+    einsum intermediate fuses into the reduce at this size). Larger
+    capacities fall back to _TRIPLE_BLOCK-chunked sweeps to bound
+    memory (the dense form is O(K^4) floats — 1 GB at K=128).
     """
     K = positions.shape[0]
-    if K <= 96:
+    if K <= 64:
         return _convex_hull_mask_dense(positions, valid)
     return _convex_hull_mask_blocked(positions, valid)
 
@@ -368,7 +369,7 @@ def concave_hull_mask(
     keyframes. Measured vs the oracle: recall 1.0, precision ~0.99
     (f32 circumcircle tolerance on near-cocircular quadruples).
 
-    K <= 96 uses the DENSE (K,K,K) form (~0.3 ms on a v5e): the
+    K <= 64 uses the DENSE (K,K,K) form (~0.3 ms on a v5e): the
     emptiness test reduces the (K,K,K,K) distance einsum immediately,
     and the on-circle triangle corners are excluded AUTOMATICALLY (they
     sit at distance R > R - tol), so no index-exclusion masks are
@@ -377,7 +378,7 @@ def concave_hull_mask(
     sweep with one-hot edge-count matmuls (no scatters either way).
     """
     K = positions.shape[0]
-    if K <= 96:
+    if K <= 64:
         return _concave_hull_mask_dense(positions, valid, alpha)
     return _concave_hull_mask_blocked(positions, valid, alpha)
 

@@ -153,7 +153,12 @@ def label_components(
     # edge masks, so they hoist out of the while_loop.
     VB = max(1, (H * W - 1).bit_length())
     MAXV = jnp.int32((1 << VB) - 1)
-    packed_ok = (VB + max((W + 1).bit_length(), (H + 1).bit_length())) <= 31
+    # bit budget covers the DOUBLED-scan key range (fwd keys 0..n, bwd
+    # keys offset by n+1 -> max 2n+1)
+    packed_ok = (
+        VB
+        + max((2 * W + 1).bit_length(), (2 * H + 1).bit_length())
+    ) <= 31
 
     def seg_scan_packed(L, key, axis):
         enc = (key << VB) | (MAXV - jnp.minimum(L, MAXV))
@@ -174,10 +179,23 @@ def label_components(
     def bidir_scan(L, m, axis, keys=None):
         """min over each element's maximal connected run, both directions."""
         if keys is not None:
+            # ONE doubled cummax instead of fwd + flipped-bwd scans: the
+            # reversed copy rides behind the forward half with its keys
+            # offset past the forward range, so the prefix max never
+            # carries across the seam (every second-half enc dominates
+            # every first-half one). 12 log-passes over 2n instead of
+            # 2x11 over n — measured 0.355 -> 0.210 ms per row bidir at
+            # 64x2048 (per-pass overhead halves; bandwidth is the same).
             kf, kb = keys
-            fwd = seg_scan_packed(L, kf, axis)
+            n = L.shape[axis]
+            Ld = jnp.concatenate([L, jnp.flip(L, axis=axis)], axis=axis)
+            keys2 = jnp.concatenate(
+                [kf, kb + jnp.int32(n + 1)], axis=axis
+            )
+            out = seg_scan_packed(Ld, keys2, axis)
+            fwd = jax.lax.slice_in_dim(out, 0, n, axis=axis)
             bwd = jnp.flip(
-                seg_scan_packed(jnp.flip(L, axis=axis), kb, axis), axis=axis
+                jax.lax.slice_in_dim(out, n, 2 * n, axis=axis), axis=axis
             )
             return jnp.minimum(fwd, bwd)
         fwd = seg_scan(L, m, axis)

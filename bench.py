@@ -213,6 +213,11 @@ def run_timed():
         return (jnp.asarray(cv), jnp.asarray(cc))
 
     n_chunks = (len(seq) - 1 - K) // K
+    if n_chunks < 1:
+        raise ValueError(
+            f"DDLO_BENCH_CHUNK={K} leaves no timed chunks in the "
+            f"{len(seq)}-scan sequence (need K <= {(len(seq) - 1) // 2})"
+        )
     n_timed = n_chunks * K
 
     # pre-stage the timed window's scan stacks in device HBM (one-time,

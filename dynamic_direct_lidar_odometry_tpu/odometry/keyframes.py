@@ -431,16 +431,38 @@ def _concave_hull_mask_dense(
     thr = jnp.abs(dxy) * jnp.maximum(2.0 * R * tol - tol * tol, 0.0) * 0.5
     inside = (det * sgn[..., None] > thr[..., None]) & v[None, None, None, :]
     kept = ok & (R <= alpha) & ~jnp.any(inside, axis=-1)
-    # ordered-triple edge counts are exactly 2x the unordered counts
-    E = jnp.sum(kept.astype(jnp.float32), axis=0)  # (K,K)
-    edge_cnt = (E + E.T) * 0.5
-    bedge = jnp.abs(edge_cnt - 1.0) < 0.25
     in_kept = (
         jnp.any(kept, axis=(1, 2))
         | jnp.any(kept, axis=(0, 2))
         | jnp.any(kept, axis=(0, 1))
     )
-    boundary = (jnp.any(bedge, axis=1) | ~in_kept) & v
+    # boundary EDGES via the direct alpha-EXPOSURE test (an in-complex
+    # edge is boundary iff one of its two alpha-disks is empty) instead
+    # of counting kept triangles per edge: on COCIRCULAR sets (regular
+    # grids, evenly spaced arcs) the f32 tolerance keeps ALL
+    # co-circumscribed triangles, every edge counts 2, and the count
+    # rule silently marks NOTHING (measured recall 0.0 on a 4x4 grid);
+    # the disk test is immune to the tie and matches the Delaunay
+    # oracle exactly there (trajectory precision 0.995, recall 1.0).
+    e_ok = v[:, None] & v[None, :] & (la <= 4.0 * alpha * alpha) & (
+        la > 1e-12
+    )
+    mid = 0.5 * (p2[:, None, :] + p2[None, :, :])  # (K, K, 2)
+    h = jnp.sqrt(jnp.maximum(alpha * alpha - la / 4.0, 0.0))
+    perp = jnp.stack([-ab[..., 1], ab[..., 0]], axis=-1) / jnp.sqrt(
+        jnp.maximum(la, 1e-12)
+    )[..., None]
+
+    def disk_empty(c):
+        d2 = jnp.sum((c[:, :, None, :] - p2[None, None, :, :]) ** 2, -1)
+        ins = (d2 < (alpha - tol) ** 2) & v[None, None, :]
+        return ~jnp.any(ins, axis=-1)
+
+    exposed = e_ok & (
+        disk_empty(mid + h[..., None] * perp)
+        | disk_empty(mid - h[..., None] * perp)
+    )
+    boundary = (jnp.any(exposed, axis=1) | ~in_kept) & v
     n = jnp.sum(v)
     return jnp.where(n >= 5, boundary, jnp.zeros((K,), bool))
 
@@ -457,10 +479,9 @@ def _concave_hull_mask_blocked(
     scale = jnp.max(jnp.where(valid[:, None], jnp.abs(positions[:, :2]), 0.0))
     tol = 1e-4 * scale
     blocks = _triple_blocks(K)
-    ar = jnp.arange(K)[None, :]
 
-    def body(carry, tri):
-        cnt, in_kept = carry
+    # pass 1 (triples): alpha-complex membership per point (in_kept)
+    def body(in_kept, tri):
         ii, jj, kk = tri[0], tri[1], tri[2]
         a, b, c = p2[ii], p2[jj], p2[kk]
         ab, ac = b - a, c - a
@@ -479,6 +500,7 @@ def _concave_hull_mask_blocked(
         dist = jnp.linalg.norm(
             ctr[:, None, :] - positions[None, :, :2], axis=-1
         )
+        ar = jnp.arange(K)[None, :]
         inside = (dist < R[:, None] - tol) & valid[None, :]
         inside = (
             inside
@@ -489,23 +511,49 @@ def _concave_hull_mask_blocked(
         kept = (ok & (R <= alpha) & ~jnp.any(inside, axis=1)).astype(
             jnp.float32
         )
-        oi = jax.nn.one_hot(ii, K, dtype=jnp.float32)
-        oj = jax.nn.one_hot(jj, K, dtype=jnp.float32)
-        ok_ = jax.nn.one_hot(kk, K, dtype=jnp.float32)
-        wi = oi * kept[:, None]
-        wj = oj * kept[:, None]
-        cnt = cnt + wi.T @ oj + wj.T @ ok_ + wi.T @ ok_
-        in_kept = in_kept + ((oi + oj + ok_) * kept[:, None]).sum(axis=0)
-        return (cnt, in_kept), None
+        hits = sum(
+            kept @ jax.nn.one_hot(idx, K + 1, dtype=jnp.float32)
+            for idx in (ii, jj, kk)
+        )[:K]
+        return in_kept | (hits > 0.5), None
 
-    (cnt, in_kept), _ = jax.lax.scan(
-        body,
-        (jnp.zeros((K, K), jnp.float32), jnp.zeros((K,), jnp.float32)),
-        blocks,
-    )
-    bedge = jnp.abs(cnt - 1.0) < 0.25  # edges on exactly one kept triangle
-    boundary = jnp.any(bedge, axis=1) | jnp.any(bedge, axis=0)
-    mask = (boundary | (in_kept < 0.5)) & valid
+    in_kept, _ = jax.lax.scan(body, jnp.zeros((K,), bool), blocks)
+
+    # pass 2 (pairs): boundary edges via the alpha-EXPOSURE disk test —
+    # same rule as the dense path (see _concave_hull_mask_dense: the
+    # kept-triangle edge-count rule silently fails on cocircular sets)
+    def body2(bnd, pr):
+        ii, jj = pr[0], pr[1]
+        a, b = p2[ii], p2[jj]
+        ab = b - a
+        la = jnp.sum(ab * ab, axis=1)
+        ok = v[ii] & v[jj] & (la <= 4.0 * alpha * alpha) & (la > 1e-12)
+        mid = 0.5 * (a + b)
+        h = jnp.sqrt(jnp.maximum(alpha * alpha - la / 4.0, 0.0))
+        perp = jnp.stack([-ab[:, 1], ab[:, 0]], axis=1) / jnp.sqrt(
+            jnp.maximum(la, 1e-12)
+        )[:, None]
+
+        def disk_empty(c):
+            d2 = jnp.sum(
+                (c[:, None, :] - positions[None, :, :2]) ** 2, axis=-1
+            )
+            ins = (d2 < (alpha - tol) ** 2) & valid[None, :]
+            return ~jnp.any(ins, axis=1)
+
+        exposed = ok & (
+            disk_empty(mid + h[:, None] * perp)
+            | disk_empty(mid - h[:, None] * perp)
+        )
+        e = exposed.astype(jnp.float32)
+        hits = sum(
+            e @ jax.nn.one_hot(idx, K + 1, dtype=jnp.float32)
+            for idx in (ii, jj)
+        )[:K]
+        return bnd | (hits > 0.5), None
+
+    bnd, _ = jax.lax.scan(body2, jnp.zeros((K,), bool), _pair_blocks(K))
+    mask = (bnd | ~in_kept) & valid
     return jnp.where(n >= 5, mask, jnp.zeros((K,), bool))
 
 
@@ -563,8 +611,24 @@ def exact_hull_masks(
     if len(vidx) >= 4:
         try:
             cv[vidx[ConvexHull(pos).vertices]] = True
-        except QhullError:  # degenerate (collinear/coplanar) keyframe set
-            cv[vidx] = True
+        except QhullError:
+            # coplanar set: qhull refuses a flat 3D hull; fall back to
+            # the 2D hull of the XY projection (what pcl::ConvexHull's
+            # dimension detection effectively does for planar clouds).
+            # Mark every point ON the hull boundary, not just strict
+            # vertices: the on-device fallback's edge test marks
+            # collinear boundary points too, and for general-position
+            # sets the two coincide — this keeps hulls="exact" and
+            # hulls="device" aligned on degenerate synthetic worlds.
+            # Collinear sets degrade to all-valid.
+            try:
+                hull2 = ConvexHull(pos[:, :2])
+                eqs = hull2.equations  # (F, 3): A @ p + b <= 0 inside
+                d = eqs[:, :2] @ pos[:, :2].T + eqs[:, 2:3]
+                span = max(float(np.abs(pos).max()), 1.0)
+                cv[vidx[np.max(d, axis=0) > -1e-6 * span]] = True
+            except QhullError:
+                cv[vidx] = True
     if len(vidx) >= 5:
         try:
             tri = Delaunay(pos[:, :2])

@@ -278,7 +278,12 @@ def step(
         # changed (see OdomState.hull_* — exact, not an approximation:
         # the store changes only on keyframe insertion and alpha is
         # piecewise constant). lax.cond makes unchanged-store scans skip
-        # the O(K^3) sweeps entirely.
+        # the O(K^3) sweeps entirely IN THE SINGLE-STREAM step; under
+        # vmapped dp-mode (parallel/replay.py) JAX batching lowers cond
+        # to select and BOTH branches run every scan (~0.6 ms x batch)
+        # — acceptable there because batched pipeline streams are
+        # throughput-bound anyway (SCALING_r05: pipeline batching is
+        # ~0.9x; dp-mode's win is registration-style work).
         need = state.hull_dirty | (alpha != state.hull_alpha)
 
         def build(_):

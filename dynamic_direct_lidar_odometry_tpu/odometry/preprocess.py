@@ -42,19 +42,9 @@ def preprocess(
     mask = raw_mask
 
     if pre.downsampling.use:
-        r, c = pre.downsampling.row, pre.downsampling.col
-        if (r > 1 or c > 1) and raw_points.shape[0] == H * W:
-            # decimation keeps exactly the rows r%step==0 / cols c%step==0
-            # (rowcol_downsample_mask) — a STATIC strided slice, so drop
-            # the dead rows from the buffer instead of masking them: the
-            # voxel filter's argsort shrinks r*c-fold (10x at DOALS's
-            # col=10; the 131k-row sort was the preprocess hot spot).
-            # Valid points keep their relative order, so the stable
-            # Morton sort groups and sums bit-identically.
-            pts = raw_points.reshape(H, W, 3)[::r, ::c].reshape(-1, 3)
-            mask = raw_mask.reshape(H, W)[::r, ::c].reshape(-1)
-        else:
-            mask = mask & filters.rowcol_downsample_mask(H, W, r, c)
+        pts, mask = filters.decimate(
+            pts, mask, H, W, pre.downsampling.row, pre.downsampling.col
+        )
     if pre.crop_box.use:
         mask = mask & filters.crop_box_mask(pts, pre.crop_box.size)
 

@@ -38,6 +38,33 @@ def rowcol_downsample_mask(
     return (rows[:, None] & cols[None, :]).reshape(-1)
 
 
+def decimate(points, mask, H: int, W: int, row_step: int, col_step: int):
+    """Row/col decimation of an organized cloud, preferring a STATIC
+    strided slice over masking.
+
+    The decimation pattern (keep rows r%row_step==0, cols c%col_step==0
+    — exactly :func:`rowcol_downsample_mask`) is static, so when the
+    buffer is organized (H*W rows) the dead rows are SLICED out of the
+    buffer: every downstream sort/scan shrinks row_step*col_step-fold
+    (10x at the DOALS col=10 preset — the 131k voxel argsort was the
+    preprocess and keyframe-add hot spot). Valid points keep their
+    relative order, so the stable Morton sort groups and sums
+    bit-identically to the masked form. Falls back to masking when the
+    buffer is not the full organized image. Shared by preprocess, the
+    pipeline's keyframe re-filter, and tools/attribute_bench's probe —
+    one definition, so the attribution cannot drift from the pipeline.
+
+    Returns (points, mask) — possibly smaller arrays.
+    """
+    if (row_step > 1 or col_step > 1) and points.shape[0] == H * W:
+        pts = points.reshape(H, W, -1)[::row_step, ::col_step]
+        return (
+            pts.reshape(-1, points.shape[-1]),
+            mask.reshape(H, W)[::row_step, ::col_step].reshape(-1),
+        )
+    return points, mask & rowcol_downsample_mask(H, W, row_step, col_step)
+
+
 @jax.jit
 def crop_box_mask(
     points: jnp.ndarray,

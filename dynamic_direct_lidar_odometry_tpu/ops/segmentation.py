@@ -153,9 +153,12 @@ def label_components(
     # edge masks, so they hoist out of the while_loop.
     VB = max(1, (H * W - 1).bit_length())
     MAXV = jnp.int32((1 << VB) - 1)
-    # bit budget covers the DOUBLED-scan key range (fwd keys 0..n, bwd
-    # keys offset by n+1 -> max 2n+1)
-    packed_ok = (
+    packed_ok = (VB + max((W + 1).bit_length(), (H + 1).bit_length())) <= 31
+    # the doubled-scan form needs one extra key bit (bwd keys offset by
+    # n+1 -> max 2n+1); shapes that fit the packed budget but not this
+    # one (e.g. 64x4096) keep the two-scan packed form instead of
+    # losing packing altogether
+    doubled_ok = (
         VB
         + max((2 * W + 1).bit_length(), (2 * H + 1).bit_length())
     ) <= 31
@@ -178,7 +181,7 @@ def label_components(
 
     def bidir_scan(L, m, axis, keys=None):
         """min over each element's maximal connected run, both directions."""
-        if keys is not None:
+        if keys is not None and doubled_ok:
             # ONE doubled cummax instead of fwd + flipped-bwd scans: the
             # reversed copy rides behind the forward half with its keys
             # offset past the forward range, so the prefix max never
@@ -196,6 +199,13 @@ def label_components(
             fwd = jax.lax.slice_in_dim(out, 0, n, axis=axis)
             bwd = jnp.flip(
                 jax.lax.slice_in_dim(out, n, 2 * n, axis=axis), axis=axis
+            )
+            return jnp.minimum(fwd, bwd)
+        if keys is not None:
+            kf, kb = keys
+            fwd = seg_scan_packed(L, kf, axis)
+            bwd = jnp.flip(
+                seg_scan_packed(jnp.flip(L, axis=axis), kb, axis), axis=axis
             )
             return jnp.minimum(fwd, bwd)
         fwd = seg_scan(L, m, axis)

@@ -185,16 +185,12 @@ def step(
         pre = cfg.preprocessing
         sp, m = static_pts, static_mask
         if pre.downsampling.use:
-            r, c = pre.downsampling.row, pre.downsampling.col
-            if (r > 1 or c > 1) and sp.shape[0] == H * W:
-                # decimation is a STATIC strided pattern (same as
-                # preprocess): slice the dead rows out of the buffer so
-                # the add branch's voxel argsort shrinks r*c-fold
-                # (10x at DOALS col=10) instead of sorting 131k rows
-                sp = sp.reshape(H, W, 3)[::r, ::c].reshape(-1, 3)
-                m = m.reshape(H, W)[::r, ::c].reshape(-1)
-            else:
-                m = m & filters.rowcol_downsample_mask(H, W, r, c)
+            # static strided slice (filters.decimate): the add branch's
+            # voxel argsort shrinks r*c-fold instead of sorting 131k
+            # mostly-dead rows
+            sp, m = filters.decimate(
+                sp, m, H, W, pre.downsampling.row, pre.downsampling.col
+            )
         if pre.crop_box.use:
             m = m & filters.crop_box_mask(sp, pre.crop_box.size, odo.pose)
         kf_pts, kf_mask = sp, m

@@ -287,7 +287,7 @@ def test_knn_approx_covariance_drift_16k():
 
 def test_hull_dense_blocked_equivalence():
     """convex/concave_hull_mask dispatch to a dense (K,K,K) form at
-    K <= 96 and a memory-bounded blocked sweep above; both must compute
+    K <= 64 and a memory-bounded blocked sweep above; both must compute
     the same masks (same tolerances, same degenerate fallbacks)."""
     for seed in range(8):
         rng = np.random.default_rng(seed)

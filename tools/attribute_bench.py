@@ -164,12 +164,9 @@ def stage_static_mask(cfg, trk_state, pixel_slot, point_index, ground_img,
     pre = cfg.preprocessing
     sp, m = static_pts, static_mask
     if pre.downsampling.use:
-        r, c = pre.downsampling.row, pre.downsampling.col
-        if (r > 1 or c > 1) and sp.shape[0] == H * W:
-            sp = sp.reshape(H, W, 3)[::r, ::c].reshape(-1, 3)
-            m = m.reshape(H, W)[::r, ::c].reshape(-1)
-        else:
-            m = m & filters.rowcol_downsample_mask(H, W, r, c)
+        sp, m = filters.decimate(
+            sp, m, H, W, pre.downsampling.row, pre.downsampling.col
+        )
     if pre.crop_box.use:
         m = m & filters.crop_box_mask(sp, pre.crop_box.size, pose)
     return sp, m
